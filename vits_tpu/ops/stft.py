@@ -1,0 +1,174 @@
+"""STFT / mel DSP on TPU.
+
+Numerics contract follows the reference (mel_processing.py:58-119,
+modules.py:378-401): hann (periodic) window, win_length zero-padded centered to
+n_fft, `center=False` spectrograms pre-padded reflect by (n_fft - hop)/2,
+magnitude = sqrt(re^2 + im^2 + 1e-6), mel = slaney-normalized librosa basis,
+log-clamp(1e-5) compression.
+
+TPU-first implementation: framing + windowing + DFT are folded into ONE strided
+`lax.conv_general_dilated` whose kernel is the windowed real-DFT basis — a
+single MXU matmul per hop instead of gather + FFT. For n_fft <= 4096 this is
+faster than XLA's FFT path on TPU and fuses with surrounding elementwise ops.
+An `rfft`-based path is kept for cross-checking.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann, matches torch.hann_window(win_length)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed real-DFT conv kernel, shape (n_fft, 1, 2*(n_fft//2+1)).
+
+    Output channels = [real bins..., imag bins...] with the torch.stft sign
+    convention: X[k] = sum_n w[n] x[n] e^{-2 pi i k n / N}.
+    The (possibly shorter) window is zero-padded centered to n_fft, exactly as
+    torch.stft does when win_length < n_fft.
+    """
+    window = np.zeros(n_fft, dtype=np.float64)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length).astype(np.float64)
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, F)
+    basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # (n_fft, 2F)
+    kern = (window[:, None] * basis).astype(np.float32)
+    return kern[:, None, :]  # (K=n_fft, I=1, O=2F)
+
+
+def frame_count(length: int, n_fft: int, hop: int, center: bool) -> int:
+    if center:
+        return length // hop + 1
+    return (length - n_fft) // hop + 1
+
+
+def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
+         center: bool = True, method: str = "matmul"):
+    """Short-time Fourier transform.
+
+    x: (B, T) float. Returns (re, im) each (B, n_frames, F=n_fft//2+1).
+    center=True reflect-pads n_fft//2 both sides (torch.stft default used by
+    the STFT-loss path, modules.py:386-392). Note the frame axis is TIME-major
+    (B, T', F) in this framework; transpose for torch (B, F, T') parity.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    F = n_fft // 2 + 1
+    if method == "matmul":
+        kern = jnp.asarray(_dft_kernel(n_fft, win_length))
+        y = lax.conv_general_dilated(
+            x[:, :, None], kern, (hop_length,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )  # (B, T', 2F)
+        return y[..., :F], y[..., F:]
+    # fft reference path
+    nf = frame_count(x.shape[1], n_fft, hop_length, center=False)
+    idx = np.arange(nf)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[:, idx]  # (B, T', n_fft)
+    window = np.zeros(n_fft, dtype=np.float32)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+def spectrogram(y, n_fft: int, hop_length: int, win_length: int,
+                method: str = "matmul"):
+    """Linear magnitude spectrogram, reference mel_processing.spectrogram_torch
+    (mel_processing.py:58-77): center=False with explicit reflect pre-pad of
+    (n_fft - hop)/2 on both sides; magnitude floor 1e-6 under the sqrt.
+
+    y: (B, T) waveform in [-1, 1]. Returns (B, T', F) with T' = T//hop for
+    T a multiple of hop (general: (T + 2*pad - n_fft)//hop + 1).
+    """
+    pad = (n_fft - hop_length) // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    re, im = stft(y, n_fft, hop_length, win_length, center=False, method=method)
+    return jnp.sqrt(re * re + im * im + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mel
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=32)
+def mel_filterbank(sampling_rate: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular mel filterbank, (F, n_mels).
+
+    Matches librosa.filters.mel(htk=False, norm='slaney') as consumed by the
+    reference (mel_processing.py:85), transposed to (F, M) for channel-last
+    matmul. Implemented from the Slaney Auditory-Toolbox formulas.
+    """
+    if fmax is None:
+        fmax = sampling_rate / 2.0
+    F = n_fft // 2 + 1
+    fftfreqs = np.linspace(0.0, sampling_rate / 2.0, F)
+    mel_pts = _mel_to_hz_slaney(np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.T.astype(np.float32)  # (F, M)
+
+
+def dynamic_range_compression(x, clip_val=1e-5):
+    """log-clamp compression (mel_processing.py:26-32)."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+def spec_to_mel(spec, n_fft, n_mels, sampling_rate, fmin=0.0, fmax=None):
+    """spec: (B, T, F) linear magnitudes -> (B, T, M) log-mel.
+    Reference: spec_to_mel_torch (mel_processing.py:80-89)."""
+    fb = jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mels, fmin, fmax))
+    mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)
+    return dynamic_range_compression(mel)
+
+
+def mel_spectrogram(y, n_fft, n_mels, sampling_rate, hop_length, win_length,
+                    fmin=0.0, fmax=None, method: str = "matmul"):
+    """Waveform -> (B, T, M) log-mel (mel_spectrogram_torch,
+    mel_processing.py:92-119)."""
+    spec = spectrogram(y, n_fft, hop_length, win_length, method=method)
+    return spec_to_mel(spec, n_fft, n_mels, sampling_rate, fmin, fmax)
