@@ -79,22 +79,34 @@ def uniform_bias_init(key, shape, fan_in, dtype=jnp.float32):
 # weight norm
 # ---------------------------------------------------------------------------
 
-def _wn_norm(v):
-    """L2 norm of v over all axes except the last (C_out), keepdims."""
-    axes = tuple(range(v.ndim - 1))
-    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+def _wn_axes(v, g):
+    """Axes to norm over: all axes where g is singleton (g.ndim == v.ndim), or
+    all-but-last when g is 1-D (the standard conv/dense case, torch dim=0 on a
+    (C_out, ...) tensor == our trailing C_out)."""
+    if g.ndim == 1:
+        return tuple(range(v.ndim - 1))
+    return tuple(i for i in range(v.ndim) if g.shape[i] == 1)
 
 
 def wn_kernel(p):
     """Materialize a weight-normed kernel from {"g","v"} (or passthrough "w")."""
     if "v" in p:
-        return p["g"] * p["v"] / _wn_norm(p["v"])
+        v, g = p["v"], p["g"]
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=_wn_axes(v, g), keepdims=True))
+        return g * v / norm
     return p["w"]
 
 
-def make_weight_norm(kernel):
-    """Split a plain kernel into weight-norm (g, v) parameterization."""
-    g = _wn_norm(kernel).reshape(-1)  # (C_out,)
+def make_weight_norm(kernel, dim=-1):
+    """Split a plain kernel into weight-norm (g, v). dim: axis indexed by g
+    (torch weight_norm dim=0 == our -1 for conv/dense kernels; ConvTranspose1d
+    keeps torch dim=0 == our axis 1 of (K, C_in, C_out))."""
+    if dim in (-1, kernel.ndim - 1):
+        axes = tuple(range(kernel.ndim - 1))
+        g = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=axes)).reshape(-1)
+    else:
+        axes = tuple(i for i in range(kernel.ndim) if i != dim)
+        g = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=axes, keepdims=True))
     return {"g": g, "v": kernel}
 
 
@@ -252,7 +264,7 @@ class ConvTranspose1d:
             gain = math.sqrt(2.0 / 6.0)
             bound = gain * math.sqrt(3.0 / (self.out_channels * self.kernel_size))
             w = jax.random.uniform(kw, shape, jnp.float32, -bound, bound)
-        p = make_weight_norm(w) if self.weight_norm else {"w": w}
+        p = make_weight_norm(w, dim=1) if self.weight_norm else {"w": w}
         if self.bias:
             p["b"] = uniform_bias_init(kb, (self.out_channels,), self.out_channels * self.kernel_size)
         return p
@@ -322,10 +334,12 @@ class Embedding:
     features: int
 
     def init_params(self, key):
-        return {"w": jax.random.normal(key, (self.num_embeddings, self.features))}
+        # distinct leaf name: torch Embedding.weight is (n, d) and must NOT get
+        # the Linear transpose in the checkpoint bridge
+        return {"embedding": jax.random.normal(key, (self.num_embeddings, self.features))}
 
     def apply(self, p, ids):
-        return jnp.take(p["w"], ids, axis=0)
+        return jnp.take(p["embedding"], ids, axis=0)
 
     __call__ = apply
 
