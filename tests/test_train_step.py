@@ -1,0 +1,126 @@
+"""Smoke + behavior tests for the jitted GAN train step (tiny config, CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.models.synthesizer import Synthesizer, DurationDiscriminator
+from vits_tpu.models.discriminators import MultiPeriodDiscriminator
+from vits_tpu.models.mrd import MultiWaveSTFTDiscriminator
+from vits_tpu.train.optim import Optimizer
+from vits_tpu.train.step import TrainStepConfig, make_train_step
+
+TINY = dict(
+    text_channels=8, spec_channels=33, segment_size=8,
+    inter_channels=8, hidden_channels=16, filter_channels=24,
+    n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.1,
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    upsample_rates=(4, 2), upsample_initial_channel=64,
+    upsample_kernel_sizes=(8, 4), resblock="2", ffn="FFN2",
+    kernel_size_q=5, n_layers_q=3, hidden_size_d=16, kernel_size_d=5,
+    p_dropout_d=0.5, act_func_d="ReLU", dilation_rate=(1, 1), n_flows=2,
+    n_speakers=4, gin_channels=16,
+)
+HOP = 8  # == prod(upsample_rates)
+
+
+def make_batch(B=2, T_x=11, T_y=24, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "x": jnp.asarray(rng.randn(B, T_x, TINY["text_channels"]).astype(np.float32)),
+        "x_lengths": jnp.asarray([T_x, T_x - 3], dtype=jnp.int32),
+        "spec": jnp.asarray(np.abs(rng.randn(B, T_y, TINY["spec_channels"])).astype(np.float32)),
+        "spec_lengths": jnp.asarray([T_y, T_y - 5], dtype=jnp.int32),
+        "wav": jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_y * HOP)).astype(np.float32)),
+        "emo": jnp.asarray(rng.randn(B, 1024).astype(np.float32)),
+        "sid": jnp.asarray([1, 3], dtype=jnp.int32),
+    }
+
+
+def build(variant="mel", use_dur_dis=False):
+    synth = Synthesizer(**TINY)
+    cfg = TrainStepConfig(
+        variant=variant, segment_frames=TINY["segment_size"], hop_length=HOP,
+        filter_length=64, win_length=64, n_mel_channels=20, sampling_rate=1600,
+        use_dur_dis=use_dur_dis, mas_impl="scan",
+        resolutions=((64, 16, 64), (32, 8, 32)),
+    )
+    if variant == "mel":
+        disc = MultiPeriodDiscriminator(periods=(2, 3))
+    else:
+        disc = MultiWaveSTFTDiscriminator(
+            num_dwt=2, wave_layers=4,
+            fft_sizes=(64, 32), hop_sizes=(16, 8), win_sizes=(64, 32),
+            stft_num_layers=(3, 3), stft_kernel_sizes=(3, 3),
+            stft_conv_channels=(8, 8))
+    gen_opt = Optimizer("adamw", (0.8, 0.99), 1e-9, 0.01)
+    disc_opt = Optimizer("adamw" if variant == "mel" else "radam", (0.8, 0.99), 1e-9, 0.0)
+    dur_disc = DurationDiscriminator(TINY["hidden_channels"], 8, 5) if use_dur_dis else None
+    dur_opt = Optimizer("adamw", (0.8, 0.99), 1e-9, 0.0) if use_dur_dis else None
+
+    key = jax.random.PRNGKey(0)
+    kg, kd, kp = jax.random.split(key, 3)
+    state = {
+        "gen": synth.init_params(kg),
+        "disc": disc.init_params(kd),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state["gen_opt"] = gen_opt.init(state["gen"])
+    state["disc_opt"] = disc_opt.init(state["disc"])
+    if use_dur_dis:
+        state["dur"] = dur_disc.init_params(kp)
+        state["dur_opt"] = dur_opt.init(state["dur"])
+    step = make_train_step(synth, disc, cfg, gen_opt, disc_opt, dur_disc, dur_opt)
+    return step, state
+
+
+def _finite_tree(t):
+    return all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(t)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+@pytest.mark.parametrize("variant", ["mel", "stft"])
+def test_train_step_runs_and_updates(variant):
+    step, state = build(variant)
+    jstep = jax.jit(step)
+    batch = make_batch()
+    s1, m1 = jstep(state, batch, jax.random.PRNGKey(1), 2e-4, 2e-4, 0.01)
+    s2, m2 = jstep(s1, make_batch(seed=2), jax.random.PRNGKey(2), 2e-4, 2e-4, 0.01)
+    for m in (m1, m2):
+        for k, v in m.items():
+            assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
+    assert _finite_tree(s2["gen"]) and _finite_tree(s2["disc"])
+    # params actually moved
+    delta = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state["gen"], s2["gen"])
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+    assert int(s2["step"]) == 2
+    assert float(m1["loss_disc"]) > 0 and float(m1["loss_g_total"]) > 0
+
+
+def test_train_step_dur_disc():
+    step, state = build("mel", use_dur_dis=True)
+    jstep = jax.jit(step)
+    s1, m1 = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.0)
+    assert np.isfinite(float(m1["loss_disc_p"]))
+    assert np.isfinite(float(m1["loss_gen_p"]))
+    delta = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state["dur"], s1["dur"])
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+
+def test_grad_flow_reaches_all_generator_params():
+    """Every generator leaf (except the posterior's unused speaker path) gets a
+    nonzero gradient signal within a couple of steps."""
+    step, state = build("mel")
+    jstep = jax.jit(step)
+    s1, _ = jstep(state, make_batch(), jax.random.PRNGKey(3), 1e-2, 1e-2, 0.01)
+    moved = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state["gen"], s1["gen"])
+    flat, _ = jax.tree_util.tree_flatten_with_path(moved)
+    frozen = [jax.tree_util.keystr(kp) for kp, v in flat if v == 0.0]
+    # AdamW moves every param with nonzero grad; weight decay moves the rest.
+    # Nothing should be perfectly frozen except zero-init'd scale-free leaves.
+    allowed = [k for k in frozen if "post" in k]  # zero-init coupling post convs get grads; none expected frozen
+    assert frozen == [] or frozen == allowed, f"frozen params: {frozen[:10]}"

@@ -89,12 +89,49 @@ def _wn_axes(v, g):
 
 
 def wn_kernel(p):
-    """Materialize a weight-normed kernel from {"g","v"} (or passthrough "w")."""
+    """Materialize a kernel from weight-norm {"g","v"}, spectral-norm
+    {"w_orig","u"}, or plain {"w"} parameterizations."""
     if "v" in p:
         v, g = p["v"], p["g"]
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=_wn_axes(v, g), keepdims=True))
         return g * v / norm
+    if "w_orig" in p:
+        return _sn_kernel(p["w_orig"], p["u"])
     return p["w"]
+
+
+def _sn_kernel(kernel, u, eps=1e-12):
+    """Spectral normalization forward (one power-iteration step from the
+    persistent u buffer, torch semantics: u/v treated as constants)."""
+    w = jnp.moveaxis(kernel, -1, 0).reshape(kernel.shape[-1], -1)
+    u = jax.lax.stop_gradient(u)
+    v = w.T @ u
+    v = jax.lax.stop_gradient(v / (jnp.linalg.norm(v) + eps))
+    u2 = w @ v
+    u2 = jax.lax.stop_gradient(u2 / (jnp.linalg.norm(u2) + eps))
+    sigma = u2 @ (w @ v)
+    return kernel / sigma
+
+
+def sn_update(params):
+    """Recursively advance every spectral-norm u buffer by one power
+    iteration (the stateful half of torch's per-forward update). Call once
+    per discriminator train step, outside the grad."""
+    if isinstance(params, dict):
+        if "w_orig" in params:
+            out = dict(params)
+            _, u = spectral_normalize(params["w_orig"], params["u"])
+            out["u"] = u
+            return out
+        return {k: sn_update(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(sn_update(v) for v in params)
+    return params
+
+
+def make_spectral_norm(kernel, key):
+    u = jax.random.normal(key, (kernel.shape[-1],))
+    return {"w_orig": kernel, "u": u / (jnp.linalg.norm(u) + 1e-12)}
 
 
 def make_weight_norm(kernel, dim=-1):
@@ -196,18 +233,25 @@ class Conv1d:
     groups: int = 1
     bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     init: str = "torch"
+    init_gain: float = 1.0
 
     def init_params(self, key):
         kw, kb = jax.random.split(key)
         shape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
         if self.init == "xavier":
-            w = xavier_uniform_init(kw, shape)
+            w = xavier_uniform_init(kw, shape, gain=self.init_gain)
         elif self.init == "normal":
             w = normal_init(kw, shape)
         else:
             w = kaiming_uniform_init(kw, shape)
-        p = make_weight_norm(w) if self.weight_norm else {"w": w}
+        if self.weight_norm:
+            p = make_weight_norm(w)
+        elif self.spectral_norm:
+            p = make_spectral_norm(w, kb)
+        else:
+            p = {"w": w}
         if self.bias:
             fan_in = (self.in_channels // self.groups) * self.kernel_size
             p["b"] = uniform_bias_init(kb, (self.out_channels,), fan_in)
@@ -294,19 +338,26 @@ class Conv2d:
     padding: Union[Tuple[int, int], str] = (0, 0)
     bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     init: str = "torch"
+    init_gain: float = 1.0
 
     def init_params(self, key):
         kw, kb = jax.random.split(key)
         kh, kwd = self.kernel_size
         shape = (kh, kwd, self.in_channels, self.out_channels)
         if self.init == "xavier":
-            w = xavier_uniform_init(kw, shape)
+            w = xavier_uniform_init(kw, shape, gain=self.init_gain)
         elif self.init == "normal":
             w = normal_init(kw, shape)
         else:
             w = kaiming_uniform_init(kw, shape)
-        p = make_weight_norm(w) if self.weight_norm else {"w": w}
+        if self.weight_norm:
+            p = make_weight_norm(w)
+        elif self.spectral_norm:
+            p = make_spectral_norm(w, kb)
+        else:
+            p = {"w": w}
         if self.bias:
             fan_in = self.in_channels * kh * kwd
             p["b"] = uniform_bias_init(kb, (self.out_channels,), fan_in)

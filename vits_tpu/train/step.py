@@ -1,0 +1,240 @@
+"""Jitted GAN training steps.
+
+Capability parity with the reference's per-batch loop (train.py:170-242 for the
+mel/MPD variant; train_stft.py:162-236 for the multi-res-STFT/MRD variant),
+restructured for XLA:
+
+  * ONE jitted function performs D-step then G-step (the reference's two
+    backward passes + optimizer steps), with the generator forward computed
+    once and shared via `jax.vjp` — the D step consumes its value, the G step
+    pulls gradients back through the saved residuals. This mirrors torch
+    autograd's retained graph without recomputation.
+  * The reference's ordering is preserved: D is updated first and the G
+    adversarial loss is computed against the UPDATED discriminator.
+  * clip_grad_value_(params, None) semantics: gradients are not clipped, only
+    the global norm is reported (commons.py:158-173, train.py:213,240).
+  * LR and align-noise are runtime scalars (no recompiles as they decay).
+  * Optional bf16 compute: activations run in bfloat16 on the MXU, losses and
+    optimizer state stay float32 (replaces torch AMP fp16 + GradScaler —
+    bf16 needs no loss scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.ops.seq import clip_grad_value, slice_segments_1d
+from vits_tpu.ops.stft import mel_spectrogram, spec_to_mel
+from vits_tpu.nn.core import sn_update
+from vits_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    variant: str  # "mel" (train.py) | "stft" (train_stft.py)
+    segment_frames: int
+    hop_length: int
+    filter_length: int
+    win_length: int
+    n_mel_channels: int
+    sampling_rate: int
+    mel_fmin: float = 0.0
+    mel_fmax: Optional[float] = None
+    c_mel: float = 45.0
+    c_stft: float = 25.0
+    c_dur: float = 2.0
+    c_kl: float = 1.0
+    c_kl_q: float = 0.01
+    use_dur_dis: bool = False
+    mas_impl: str = "auto"
+    compute_dtype: Any = jnp.float32
+    resolutions: Tuple[Tuple[int, int, int], ...] = L.DEFAULT_RESOLUTIONS
+
+    @classmethod
+    def from_hps(cls, hps, variant="mel", use_dur_dis=False, mas_impl="auto",
+                 compute_dtype=jnp.float32):
+        t, d = hps.train, hps.data
+        return cls(
+            variant=variant,
+            segment_frames=t.segment_size // d.hop_length,
+            hop_length=d.hop_length,
+            filter_length=d.filter_length,
+            win_length=d.win_length,
+            n_mel_channels=d.n_mel_channels,
+            sampling_rate=d.sampling_rate,
+            mel_fmin=d.mel_fmin,
+            mel_fmax=d.mel_fmax,
+            c_mel=t.c_mel,
+            c_stft=getattr(t, "c_stft", 25.0),
+            c_dur=t.c_dur,
+            c_kl=t.c_kl,
+            c_kl_q=t.c_kl_q,
+            use_dur_dis=use_dur_dis,
+            mas_impl=mas_impl,
+            compute_dtype=compute_dtype,
+        )
+
+
+_DIFF_KEYS = ("y_hat", "l_length", "z_p", "m_p", "logs_p", "m_q", "logs_q",
+              "z_q", "logw", "x_hidden")
+_AUX_KEYS = ("attn", "ids_slice", "x_mask", "y_mask", "logw_")
+
+
+def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
+                    dur_disc=None, dur_opt=None):
+    """Build the jitted train step.
+
+    synth: models.synthesizer.Synthesizer; disc: MultiPeriodDiscriminator
+    (variant "mel") or MultiWaveSTFTDiscriminator (variant "stft");
+    gen_opt/disc_opt: train.optim.Optimizer.
+
+    state: {"gen", "disc", "gen_opt", "disc_opt", "step"[, "dur", "dur_opt"]}
+    batch: {"x","x_lengths","spec","spec_lengths","wav","emo","sid"} with
+    x (B,Tx,C) float, spec (B,Ty,F), wav (B,T).
+    Returns (new_state, metrics).
+    """
+
+    def mel_of(wav):
+        return mel_spectrogram(wav, cfg.filter_length, cfg.n_mel_channels,
+                               cfg.sampling_rate, cfg.hop_length, cfg.win_length,
+                               cfg.mel_fmin, cfg.mel_fmax)
+
+    def train_step(state, batch, rng, lr_g, lr_d, align_noise):
+        rng_fwd, rng_step = jax.random.split(rng)
+        cd = cfg.compute_dtype
+
+        def fwd(gen_params):
+            gp = jax.tree_util.tree_map(lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, gen_params) \
+                if cd != jnp.float32 else gen_params
+            out = synth.forward(
+                gp, rng_fwd,
+                batch["x"].astype(cd), batch["x_lengths"],
+                batch["spec"].astype(cd), batch["spec_lengths"],
+                batch["emo"].astype(cd), batch["sid"],
+                align_noise=align_noise, mas_impl=cfg.mas_impl, train=True)
+            diff = {k: out[k] for k in _DIFF_KEYS}
+            aux = {k: out[k] for k in _AUX_KEYS}
+            return diff, aux
+
+        (diff, vjp_fn, aux) = jax.vjp(fwd, state["gen"], has_aux=True)
+        ids = aux["ids_slice"]
+        seg = cfg.segment_frames * cfg.hop_length
+        y_slice = slice_segments_1d(batch["wav"], ids * cfg.hop_length, seg)[..., None]
+        y_hat = diff["y_hat"].astype(jnp.float32)
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        # ---------------- D step (train.py:204-214) ----------------
+        if cfg.variant == "mel":
+            def d_loss_fn(dp):
+                y_d_r, y_d_g, _, _ = disc.apply(dp, y_slice, y_hat_sg)
+                loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
+                return loss_disc, (r_losses, g_losses)
+        else:
+            mags_real = [L.stft_magnitude(y_slice[..., 0], *res) for res in cfg.resolutions]
+
+            def d_loss_fn(dp):
+                mags_fake = [L.stft_magnitude(y_hat_sg[..., 0], *res) for res in cfg.resolutions]
+                y_d_r = disc.apply(dp, y_slice, mags_real)
+                y_d_g = disc.apply(dp, y_hat_sg, mags_fake)
+                loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
+                return loss_disc, (r_losses, g_losses)
+
+        (loss_disc, (losses_d_r, losses_d_g)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state["disc"])
+        d_grads, grad_norm_d = clip_grad_value(d_grads, None)
+        d_updates, disc_opt_state = disc_opt.update(d_grads, state["disc_opt"], state["disc"], lr_d)
+        new_disc = jax.tree_util.tree_map(lambda p, u: p + u, state["disc"], d_updates)
+        new_disc = sn_update(new_disc)  # advance spectral-norm power iteration
+
+        # duration discriminator D step (train.py:205,215-220)
+        new_dur = state.get("dur")
+        dur_opt_state = state.get("dur_opt")
+        if cfg.use_dur_dis and dur_disc is not None:
+            x_hidden_sg = jax.lax.stop_gradient(diff["x_hidden"])
+            logw_pred_sg = jax.lax.stop_gradient(diff["logw"])
+
+            def p_loss_fn(pp):
+                d_r, d_g = dur_disc.apply(pp, x_hidden_sg, aux["x_mask"],
+                                          aux["logw_"], logw_pred_sg)
+                loss_p, pr, pg = L.discriminator_loss(d_r, d_g)
+                return loss_p
+            loss_disc_p, p_grads = jax.value_and_grad(p_loss_fn)(state["dur"])
+            p_grads, grad_norm_p = clip_grad_value(p_grads, None)
+            p_updates, dur_opt_state = dur_opt.update(p_grads, state["dur_opt"], state["dur"], 1e-4)
+            new_dur = jax.tree_util.tree_map(lambda p, u: p + u, state["dur"], p_updates)
+        else:
+            loss_disc_p = jnp.zeros(())
+            grad_norm_p = jnp.zeros(())
+
+        # ---------------- G step (train.py:222-242) ----------------
+        def g_loss_fn(diff_outs):
+            y_hat_g = diff_outs["y_hat"].astype(jnp.float32)
+            metrics = {}
+            loss_dur = jnp.sum(diff_outs["l_length"].astype(jnp.float32)) * cfg.c_dur
+            loss_kl = L.kl_loss(diff_outs["z_p"], diff_outs["logs_q"],
+                                diff_outs["m_p"], diff_outs["logs_p"], aux["y_mask"]) * cfg.c_kl
+            loss_kl_q = L.kl_loss(diff_outs["z_q"], diff_outs["logs_p"],
+                                  diff_outs["m_q"], diff_outs["logs_q"], aux["y_mask"]) * cfg.c_kl_q
+            if cfg.variant == "mel":
+                mel_full = spec_to_mel(batch["spec"].astype(jnp.float32), cfg.filter_length,
+                                       cfg.n_mel_channels, cfg.sampling_rate,
+                                       cfg.mel_fmin, cfg.mel_fmax)
+                from vits_tpu.ops.seq import slice_segments
+                y_mel = slice_segments(mel_full, ids, cfg.segment_frames)
+                y_hat_mel = mel_of(y_hat_g[..., 0])
+                loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.c_mel
+                y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(new_disc, y_slice, y_hat_g)
+                loss_fm = L.feature_loss(fmap_r, fmap_g)
+                loss_gen, gen_losses = L.generator_loss(y_d_g)
+                loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl + loss_kl_q
+                metrics.update({"loss_mel": loss_mel, "loss_fm": loss_fm})
+            else:
+                sc_loss, mag_loss, _, mags_fake = L.multi_resolution_stft_loss(
+                    y_slice[..., 0], y_hat_g[..., 0], resolutions=cfg.resolutions)
+                loss_stft = (sc_loss + mag_loss) * cfg.c_stft
+                y_d_g = disc.apply(new_disc, y_hat_g, mags_fake)
+                loss_gen, gen_losses = L.generator_loss(y_d_g)
+                loss_all = loss_gen + loss_stft + loss_dur + loss_kl + loss_kl_q
+                metrics.update({"loss_stft": loss_stft})
+            if cfg.use_dur_dis and dur_disc is not None:
+                _, d_g = dur_disc.apply(new_dur, diff_outs["x_hidden"], aux["x_mask"],
+                                        aux["logw_"], diff_outs["logw"])
+                loss_gen_p, _ = L.generator_loss(d_g)
+                loss_all = loss_all + loss_gen_p
+                metrics["loss_gen_p"] = loss_gen_p
+            metrics.update({"loss_gen": loss_gen, "loss_dur": loss_dur,
+                            "loss_kl": loss_kl, "loss_kl_q": loss_kl_q,
+                            "loss_g_total": loss_all})
+            return loss_all, metrics
+
+        (loss_g, g_metrics), diff_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(diff)
+        (gen_grads,) = vjp_fn(jax.tree_util.tree_map(
+            lambda d, g: g.astype(d.dtype), diff, diff_grads))
+        gen_grads = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), gen_grads)
+        gen_grads, grad_norm_g = clip_grad_value(gen_grads, None)
+        g_updates, gen_opt_state = gen_opt.update(gen_grads, state["gen_opt"], state["gen"], lr_g)
+        new_gen = jax.tree_util.tree_map(lambda p, u: p + u, state["gen"], g_updates)
+
+        new_state = dict(state)
+        new_state.update({"gen": new_gen, "disc": new_disc,
+                          "gen_opt": gen_opt_state, "disc_opt": disc_opt_state,
+                          "step": state["step"] + 1})
+        if cfg.use_dur_dis and dur_disc is not None:
+            new_state.update({"dur": new_dur, "dur_opt": dur_opt_state})
+        metrics = dict(g_metrics)
+        metrics.update({"loss_disc": loss_disc, "grad_norm_d": grad_norm_d,
+                        "grad_norm_g": grad_norm_g, "loss_disc_p": loss_disc_p,
+                        "grad_norm_p": grad_norm_p})
+        metrics["losses_d_r"] = jnp.stack(losses_d_r)
+        metrics["losses_d_g"] = jnp.stack(losses_d_g)
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, donate_state=True):
+    return jax.jit(train_step, donate_argnums=(0,) if donate_state else ())
