@@ -1,0 +1,121 @@
+"""SAT adapt flow + toolkits tests (tiny corpus, CPU)."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vits_tpu.utils.audio import write_wav, load_wav_norm
+from vits_tpu.utils import checkpoint as ckpt
+from vits_tpu.models.synthesizer import Synthesizer
+
+from test_infer_wrap import TINY_JSON
+
+
+def test_cluster_and_vq(tmp_path):
+    from vits_tpu.toolkits.cluster_emotion import cluster_emotions
+    from vits_tpu.toolkits.vq_emotion import quantize
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(12):
+        p = str(tmp_path / f"{i}.emo")
+        center = np.zeros(1024)
+        center[i % 3] = 5.0
+        (center + rng.randn(1024) * 0.1).astype(np.float32).tofile(p)
+        paths.append(p)
+    bank = cluster_emotions(paths, k=3)
+    assert bank.shape == (3, 1024)
+    q = quantize(np.fromfile(paths[0], np.float32), bank)
+    assert q.shape == (1, 1024)
+    # quantized vector equals one of the centroids
+    assert min(np.abs(bank - q).sum(axis=1)) < 1e-5
+
+
+def test_trim_silence(tmp_path):
+    from vits_tpu.toolkits.trim_sil import trim_silence_file
+    sr = 8000
+    sig = np.concatenate([np.zeros(sr // 2),
+                          0.8 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr),
+                          np.zeros(sr // 2)]).astype(np.float32)
+    inp, outp = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    write_wav(inp, sig, sr)
+    trim_silence_file(inp, outp, target_sr=sr)
+    trimmed, _ = load_wav_norm(outp)
+    # roughly the tone + 2*50ms margins, much shorter than the padded input
+    assert sr * 0.9 < len(trimmed) < sr * 1.4
+    assert np.abs(trimmed).max() > 0
+
+
+def test_emotion_fallback_extractor(tmp_path):
+    from vits_tpu.toolkits.extract_emotion import extract_to_file
+    sr = 8000
+    write_wav(str(tmp_path / "a.wav"),
+              np.random.RandomState(0).uniform(-0.5, 0.5, sr).astype(np.float32), sr)
+    emb = extract_to_file(str(tmp_path / "a.wav"), str(tmp_path / "a.emo"))
+    assert emb.shape == (1024,)
+    assert os.path.getsize(str(tmp_path / "a.emo")) == 4096
+    emb2 = np.fromfile(str(tmp_path / "a.emo"), np.float32)
+    np.testing.assert_array_equal(emb, emb2)
+
+
+@pytest.mark.slow
+def test_sat_run_adapt(tmp_path):
+    """Full voice-cloning flow on a tiny config: data prep -> adapt finetune
+    -> export -> map + emotion banks."""
+    from vits_tpu.sat import run_adapt
+    from vits_tpu.parallel.mesh import make_mesh
+    import vits_tpu.sat as sat_mod
+
+    sat_dir = tmp_path / "sat"
+    (sat_dir / "configs").mkdir(parents=True)
+    (sat_dir / "pretrain").mkdir()
+    cfg = json.loads(json.dumps(TINY_JSON))
+    cfg["train"]["log_interval"] = 1
+    cfg["train"]["eval_interval"] = 100
+    cfg["train"]["epochs"] = 1
+    cfg["train"]["lr_decay"] = 0.996
+    cfg["train"]["bucket_boundaries"] = [4, 40, 80]
+    with open(sat_dir / "configs" / "adapt.json", "w") as f:
+        json.dump(cfg, f)
+
+    # pretrained G
+    from vits_tpu.config import get_hparams_from_file
+    hps = get_hparams_from_file(str(sat_dir / "configs" / "adapt.json"))
+    synth = Synthesizer.from_hps(hps)
+    params = synth.init_params(jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(str(sat_dir / "pretrain" / "G_0.npz"),
+                         {"model": jax.device_get(params)}, step=0)
+
+    # two new speakers with 2 utterances each
+    rng = np.random.RandomState(1)
+    for spk in (10001, 10002):
+        d = sat_dir / "data" / str(spk)
+        d.mkdir(parents=True)
+        for u in range(2):
+            T = rng.randint(24, 40) * 8
+            write_wav(str(d / f"u{u}.wav"), rng.uniform(-0.8, 0.8, T).astype(np.float32), 1600)
+            with open(d / f"u{u}.txt", "w") as f:
+                f.write("hello tiny world\n")
+
+    out_dir = str(tmp_path / "checkpoint")
+    mesh = make_mesh(devices=jax.devices()[:1])
+    mapping = run_adapt(str(sat_dir), out_dir, max_steps=2, mesh=mesh)
+    # reserved ids clamp to n_speakers-1 for the tiny 8-speaker config
+    assert mapping == {"10001": 7, "10002": 6}
+    assert os.path.exists(os.path.join(out_dir, "checkpoint.npz"))
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    with open(os.path.join(out_dir, "spkid.map")) as f:
+        lines = dict(l.split() for l in f.read().strip().splitlines())
+    assert lines == {"10001": "7", "10002": "6"}
+    assert os.path.exists(os.path.join(out_dir, "7.emo"))
+    assert os.path.islink(os.path.join(out_dir, "10001.emo"))
+
+    # serving engine consumes the artifact: external id remaps + bank lookup
+    from vits_tpu.infer import EmoVITS
+    model = EmoVITS(os.path.join(out_dir, "checkpoint.npz"))
+    assert model.spkid_mapping[10001] == 7
+    wav, _ = model.infer(10001, rng.randn(9, 16).astype(np.float32), None)
+    assert len(wav) > 0 and np.all(np.isfinite(wav))

@@ -29,12 +29,12 @@ def make_batch(B=2, T_x=11, T_y=24, seed=0):
     rng = np.random.RandomState(seed)
     return {
         "x": jnp.asarray(rng.randn(B, T_x, TINY["text_channels"]).astype(np.float32)),
-        "x_lengths": jnp.asarray([T_x, T_x - 3], dtype=jnp.int32),
+        "x_lengths": jnp.asarray([T_x - (i % 4) for i in range(B)], dtype=jnp.int32),
         "spec": jnp.asarray(np.abs(rng.randn(B, T_y, TINY["spec_channels"])).astype(np.float32)),
-        "spec_lengths": jnp.asarray([T_y, T_y - 5], dtype=jnp.int32),
+        "spec_lengths": jnp.asarray([T_y - (i % 3) * 3 for i in range(B)], dtype=jnp.int32),
         "wav": jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_y * HOP)).astype(np.float32)),
         "emo": jnp.asarray(rng.randn(B, 1024).astype(np.float32)),
-        "sid": jnp.asarray([1, 3], dtype=jnp.int32),
+        "sid": jnp.asarray([i % TINY["n_speakers"] for i in range(B)], dtype=jnp.int32),
     }
 
 

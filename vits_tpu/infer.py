@@ -1,0 +1,271 @@
+"""Production batch-1 inference engine.
+
+Capability parity with the reference infer.py (EmoVITS, infer.py:12-184):
+deployment-checkpoint loading with weight-norm folding, speaker-id remap
+`*.map` files and per-speaker K-means emotion banks `<spkid>.emo` with mtime
+hot-reload (infer.py:77-133), a pre-sampled noise ring buffer (infer.py:69,
+172-175), and the two-phase inference split — phase 1 encodes text + predicts
+durations on device, the host expands durations into the alignment, phase 2
+decodes (infer.py:160-182, models.py:558-575).
+
+TPU twist: both phases are jitted with BUCKETED static shapes (text padded to
+multiples of `text_quantum`, output frames to `frame_quantum`) + masks, so a
+handful of compilations cover all requests; outputs are exact (the masked
+graphs are bit-consistent with exact-length computation — see models/*.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu import config as config_mod
+from vits_tpu.models.synthesizer import Synthesizer
+from vits_tpu.nn.core import fold_weight_norm
+from vits_tpu.ops.seq import infer_path, sequence_mask
+from vits_tpu.utils import checkpoint as ckpt_mod
+from vits_tpu.utils.summary import logger
+
+
+def find_files(root_dir: str, suffix: str):
+    out = []
+    for root, _, files in os.walk(root_dir, followlinks=True):
+        for fn in files:
+            if fn.endswith(suffix):
+                out.append(os.path.join(root, fn))
+    return out
+
+
+class EmoVITS:
+    """Two-phase bucketed TTS inference (reference EmoVITS, infer.py:12-184)."""
+
+    def __init__(self, checkpoint_path: Optional[str] = None, *, loglv: int = 0,
+                 text_quantum: int = 32, frame_quantum: int = 64,
+                 compute_dtype=jnp.float32):
+        self.loglv = loglv
+        if checkpoint_path is None:
+            checkpoint_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                           "..", "checkpoint", "checkpoint.npz")
+        self.res_root_path = os.path.dirname(checkpoint_path)
+        hps = config_mod.get_hparams_from_file(os.path.join(self.res_root_path, "config.json"))
+        self.hps = hps
+        self.sampling_rate = hps.data.sampling_rate
+        self.hop_size = hps.data.hop_length
+        self.text_channels = hps.data.text_channels
+        self.inter_channels = hps.model.inter_channels
+        self.num_speaker = hps.data.n_speakers
+        self.noise_scale = hps.data.noise_scale
+        self.text_quantum = text_quantum
+        self.frame_quantum = frame_quantum
+        self.max_text_len = getattr(hps.data, "max_text_len", 384)
+
+        # speaker id remaps + emotion banks (hot-reloadable)
+        self.spkid_mapping: Dict[int, int] = {}
+        self.spkid_mapping_mtime: Dict[str, int] = {}
+        for map_path in find_files(self.res_root_path, ".map"):
+            self._load_spkid_mapping(map_path)
+        self.spk_emo_embed: Dict[int, np.ndarray] = {}
+        self.spk_emo_embed_mtime: Dict[str, int] = {}
+        for emo_path in find_files(self.res_root_path, ".emo"):
+            try:
+                spkid = int(os.path.splitext(os.path.basename(emo_path))[0])
+            except ValueError:
+                continue
+            self._load_spk_emo_embed(spkid)
+
+        # model
+        self.synth = Synthesizer.from_hps(hps)
+        template = self.synth.init_params(jax.random.PRNGKey(0))
+        if checkpoint_path.endswith((".pth", ".pt")):
+            from vits_tpu.utils.torch_compat import load_torch_checkpoint
+            params = load_torch_checkpoint(checkpoint_path, template)
+        else:
+            loaded, _, _ = ckpt_mod.load_checkpoint(checkpoint_path, {"model": template})
+            params = loaded["model"]
+        params = fold_weight_norm(params)
+        if compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params)
+        self.params = jax.device_put(params)
+
+        # pre-sampled noise ring buffer (infer.py:69)
+        rng = np.random.RandomState(12345)
+        self.noise = (rng.randn(self.inter_channels * 4096) * self.noise_scale).astype(np.float32)
+
+        self._p1 = jax.jit(self._infer_p1_impl)
+        self._p2 = jax.jit(self._infer_p2_impl)
+        self.inference = self.infer
+
+    # ---------------- resource management (infer.py:77-133) ----------------
+    def _load_spkid_mapping(self, mapfn: str):
+        if not os.path.exists(mapfn):
+            return
+        with open(mapfn, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line[0] == "#":
+                    continue
+                arr = line.split()
+                if len(arr) != 2 or not (arr[0].lstrip("-").isdigit() and arr[1].lstrip("-").isdigit()):
+                    continue
+                self.spkid_mapping[int(arr[0])] = int(arr[1])
+        self.spkid_mapping_mtime[mapfn] = int(os.stat(mapfn).st_mtime)
+
+    def _load_spk_emo_embed(self, spkid: int):
+        emo_path = os.path.join(self.res_root_path, f"{spkid}.emo")
+        if os.path.exists(emo_path):
+            emb = np.fromfile(emo_path, dtype=np.float32).reshape(-1, 1024)
+            self.spk_emo_embed[spkid] = emb
+            self.spk_emo_embed_mtime[emo_path] = int(os.stat(emo_path).st_mtime)
+            return emb
+        return None
+
+    def _get_spk_emo_embed(self, emo: tuple) -> np.ndarray:
+        if isinstance(emo[0], (int, np.integer)):
+            emb = self.spk_emo_embed.get(int(emo[0]))
+            if emb is None:
+                emb = self._load_spk_emo_embed(int(emo[0]))
+            assert emb is not None, f"no emotion bank for speaker {emo[0]}"
+        elif isinstance(emo[0], np.ndarray):
+            emb = emo[0].reshape(-1, 1024).astype(np.float32)
+        else:
+            raise ValueError("emo[0] must be int or ndarray")
+        eid = -1 if len(emo) == 1 else int(emo[1])
+        if eid < 0 or eid >= emb.shape[0]:
+            eid = np.random.randint(0, emb.shape[0])
+        return emb[eid]
+
+    def update(self):
+        """mtime-driven hot reload of maps/banks (infer.py:118-133)."""
+        for map_path in list(self.spkid_mapping_mtime.keys()):
+            if not os.path.exists(map_path):
+                self.spkid_mapping_mtime.pop(map_path)
+                continue
+            if int(os.stat(map_path).st_mtime) != self.spkid_mapping_mtime[map_path]:
+                self._load_spkid_mapping(map_path)
+        for emo_path in list(self.spk_emo_embed_mtime.keys()):
+            if not os.path.exists(emo_path):
+                self.spk_emo_embed_mtime.pop(emo_path)
+                continue
+            if int(os.stat(emo_path).st_mtime) != self.spk_emo_embed_mtime[emo_path]:
+                self._load_spk_emo_embed(int(os.path.splitext(os.path.basename(emo_path))[0]))
+
+    # ---------------- jitted phases ----------------
+    def _infer_p1_impl(self, params, x, x_mask, emo, sid):
+        return self.synth.infer_p1(params, x, emo, sid, x_mask=x_mask)
+
+    def _infer_p2_impl(self, params, attn, m_p, s_p, g, noise, y_mask):
+        return self.synth.infer_p2(params, attn, m_p, s_p, g, noise, y_mask=y_mask)
+
+    @staticmethod
+    def _quantize(n, q, cap=None):
+        m = ((n + q - 1) // q) * q
+        return min(m, cap) if cap else m
+
+    def infer(self, spkid: int, text: np.ndarray, emo=None, *,
+              duration_rate: float = 1.0):
+        """text: (N, text_channels) float32 -> (wav float32 (T,), emo used)."""
+        x_length = int(text.shape[0])
+        spkid = self.spkid_mapping.get(spkid, spkid)
+        assert spkid < self.num_speaker, f"spkid={spkid} >= {self.num_speaker}"
+
+        if isinstance(emo, np.ndarray) and emo.ndim <= 2 and emo.size == 1024:
+            emo_vec = emo.reshape(-1).astype(np.float32)
+        else:
+            if emo is None:
+                emo = (spkid, -1)
+            if isinstance(emo[0], (int, np.integer)):
+                first = self.spkid_mapping.get(int(emo[0]), int(emo[0])) if emo[0] != 0 else spkid
+                emo = (first, -1 if len(emo) == 1 else emo[1])
+            emo_vec = self._get_spk_emo_embed(emo)
+
+        # phase 1 (bucketed text)
+        x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
+        x = np.zeros((1, x_pad, self.text_channels), np.float32)
+        x[0, :x_length] = text[:x_pad]
+        x_mask = np.zeros((1, x_pad, 1), np.float32)
+        x_mask[0, :x_length] = 1.0
+        m_p, s_p, logw, g = self._p1(self.params, jnp.asarray(x), jnp.asarray(x_mask),
+                                     jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
+
+        # host: durations -> alignment (infer.py:169-176)
+        w = np.exp(np.asarray(logw, np.float32))[0, :x_length, 0] * duration_rate
+        w_ceil = np.ceil(w)
+        y_length = max(int(w_ceil.sum()), 1)
+        y_pad = self._quantize(y_length, self.frame_quantum)
+        dur = np.zeros((1, x_pad), np.float32)
+        dur[0, :x_length] = w_ceil
+        attn = np.asarray(infer_path(jnp.asarray(dur), y_pad), np.float32)
+        nl = y_pad * self.inter_channels
+        start = np.random.randint(max(self.noise.size - nl, 1))
+        noise = np.resize(self.noise[start:start + nl], (nl,)).reshape(1, y_pad, self.inter_channels)
+        y_mask = np.zeros((1, y_pad, 1), np.float32)
+        y_mask[0, :y_length] = 1.0
+
+        wav = self._p2(self.params, jnp.asarray(attn), m_p, s_p, g,
+                       jnp.asarray(noise), jnp.asarray(y_mask))
+        wav = np.asarray(wav, np.float32)[0, :y_length * self.hop_size, 0]
+        return wav, emo_vec
+
+
+def main(argv=None):
+    """CLI decoding of .vec feature files (parity: infer.py main, 187-288)."""
+    import argparse
+    import logging
+    import time
+    from vits_tpu.utils.audio import write_wav
+
+    parser = argparse.ArgumentParser(description="Decode dumped features with the TPU TTS generator.")
+    parser.add_argument("--scpfn", "--scp", type=str, required=True)
+    parser.add_argument("--spkid", "--sid", default=None, type=int)
+    parser.add_argument("--emotion", "--emo", default=None, type=str,
+                        help="(spkid|path, eid) emotion selector")
+    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--checkpoint", "--ckpt", default=None, type=str)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARN)
+    os.makedirs(args.outdir, exist_ok=True)
+    model = EmoVITS(args.checkpoint, loglv=args.verbose)
+
+    features = {}
+    with open(args.scpfn) as fid:
+        for line in fid:
+            line = line.strip()
+            if not line or line[0] == "#":
+                continue
+            parts = line.split("|")
+            utt_id = os.path.splitext(os.path.basename(parts[0]))[0]
+            spkid = args.spkid if args.spkid is not None else (int(parts[-1]) if len(parts) > 1 else 1)
+            emo = None
+            src = args.emotion if args.emotion is not None else (parts[1] if len(parts) > 2 else None)
+            if src:
+                e = src.split(":")
+                if os.path.exists(e[0]):
+                    e0 = np.fromfile(e[0], dtype=np.float32).reshape(-1, 1024)
+                else:
+                    e0 = int(e[0])
+                emo = (e0, int(e[1]) if len(e) > 1 else -1)
+            features[utt_id] = (spkid, emo, parts[0])
+
+    total_rtf, idx = 0.0, 0
+    for idx, (utt_id, (spkid, emo, vecfn)) in enumerate(features.items(), 1):
+        start = time.time()
+        text = np.fromfile(vecfn, dtype=np.float32).reshape(-1, model.text_channels)
+        wav, _ = model.infer(spkid, text, emo)
+        write_wav(os.path.join(args.outdir, f"{utt_id}.wav"), wav, model.sampling_rate)
+        total_rtf += (time.time() - start) / (len(wav) / model.sampling_rate)
+    if idx:
+        logging.info("Finished generation of %d utterances (RTF = %.3f).", idx, total_rtf / idx)
+
+
+if __name__ == "__main__":
+    main()

@@ -597,6 +597,31 @@ class Synthesizer:
         logw = self.dp.apply(p["dp"], x_h, x_mask, g=g)
         return m_p, s_p, logw, g
 
+    def stream_decode(self, p, z, g=None, chunk_frames: int = 128,
+                      halo: int = 24, decode_fn=None):
+        """Chunked streaming HiFi-GAN decode (north-star config 5): the latent
+        is decoded in overlapping windows with a receptive-field halo and only
+        each window's interior is kept, so the concatenation is bit-identical
+        to a full decode while bounding per-call memory/latency. The halo must
+        cover the decoder's input-frame receptive radius (~15 frames for the
+        base config's kernels; default 24 is conservative).
+
+        z: (B, T, C_inter). Returns (B, T * prod(upsample_rates), 1).
+        """
+        up = 1
+        for r in self.upsample_rates:
+            up *= r
+        T = z.shape[1]
+        decode = decode_fn or (lambda zc: self.dec.apply(p["dec"], zc, g=g))
+        outs = []
+        for s in range(0, T, chunk_frames):
+            lo = max(0, s - halo)
+            hi = min(T, s + chunk_frames + halo)
+            seg = decode(z[:, lo:hi])
+            keep = min(chunk_frames, T - s)
+            outs.append(seg[:, (s - lo) * up:(s - lo + keep) * up])
+        return jnp.concatenate(outs, axis=1)
+
     def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None):
         """Phase 2 (models.py:568-575): expand prior along attn, flow-reverse,
         decode. noise: (B, T_y, C) pre-scaled noise."""

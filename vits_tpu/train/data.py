@@ -1,0 +1,261 @@
+"""Data pipeline: scp datasets, bucketed sampling, static-shape batching.
+
+Capability parity with the reference data_utils.py:
+  * TextAudioSpeakerDataset ← TextAudioSpeakerLoader (data_utils.py:15-102):
+    scp lines `vecfn|wavfn|emofn|sid`, float32 .vec text vectors, peak-
+    normalized wavs, 1024-d .emo embeddings, length filtering, spectrogram
+    caching beside the wav (.spec.npy here vs .spec.pt).
+  * collate ← TextAudioSpeakerCollate (data_utils.py:105-163), except batches
+    are padded to QUANTIZED shapes (text to multiples of text_quantum, spec to
+    the bucket's upper boundary) so jit compiles a handful of shapes instead of
+    one per batch.
+  * BucketSampler ← DistributedBucketSampler (data_utils.py:166-262):
+    length-bucketed batches, pad-to-divisible replication, per-epoch seeded
+    shuffle, rank (process) striding.
+  * Prefetcher: background-thread host loading + device transfer, replacing
+    torch DataLoader's worker processes.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vits_tpu.utils.audio import load_wav_norm, spectrogram_np
+
+
+def load_filepaths_and_sid(filename: str, split: str = "|") -> List[List[str]]:
+    with open(filename, encoding="utf-8") as f:
+        return [line.strip().split(split) for line in f if line.strip()]
+
+
+def load_binfn(filename: str, dim: int) -> np.ndarray:
+    return np.fromfile(filename, dtype=np.float32).reshape(-1, dim)
+
+
+class TextAudioSpeakerDataset:
+    """scp-driven dataset with on-disk spectrogram caching."""
+
+    def __init__(self, filepaths_sid_file: str, hps, cache_spec: bool = True):
+        self.items = load_filepaths_and_sid(filepaths_sid_file)
+        d, t = hps.data, hps.train
+        self.sampling_rate = d.sampling_rate
+        self.filter_length = d.filter_length
+        self.hop_length = d.hop_length
+        self.win_length = d.win_length
+        self.text_channels = d.text_channels
+        self.segment_size = t.segment_size
+        self.min_text_len = getattr(d, "min_text_len", 2)
+        self.max_text_len = getattr(d, "max_text_len", 384)
+        self.min_wav_len = max(self.segment_size, getattr(d, "min_wav_len", 0))
+        self.max_wav_len = getattr(d, "max_wav_len", 10 * self.sampling_rate)
+        self.cache_spec = cache_spec
+        self._filter()
+        rng = np.random.RandomState(1234)
+        order = rng.permutation(len(self.items))
+        self.items = [self.items[i] for i in order]
+        self.lengths = [self.lengths[i] for i in order]
+
+    def _filter(self):
+        """Length filters + spec-frame lengths for bucketing
+        (data_utils.py:39-56). Uses file sizes instead of loading payloads."""
+        kept, lengths = [], []
+        for entry in self.items:
+            vecfn, wavfn = entry[0], entry[1]
+            try:
+                vec_len = os.path.getsize(vecfn) // (4 * self.text_channels)
+                wav, _ = load_wav_norm(wavfn)
+                wav_len = len(wav)
+            except OSError:
+                continue
+            if self.min_text_len < vec_len < self.max_text_len and \
+               self.min_wav_len < wav_len < self.max_wav_len:
+                kept.append(entry)
+                lengths.append(wav_len // self.hop_length)
+        self.items = kept
+        self.lengths = lengths
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_audio(self, wavfn: str) -> Tuple[np.ndarray, np.ndarray]:
+        wav, sr = load_wav_norm(wavfn)
+        if sr != self.sampling_rate:
+            raise ValueError(f"{wavfn}: {sr} != target {self.sampling_rate}")
+        spec_fn = wavfn[:-len(".wav")] + ".spec.npy"
+        spec = None
+        if self.cache_spec and os.path.exists(spec_fn):
+            try:
+                spec = np.load(spec_fn)
+            except Exception:
+                spec = None
+        if spec is None:
+            spec = spectrogram_np(wav, self.filter_length, self.hop_length, self.win_length)
+            if self.cache_spec:
+                try:
+                    np.save(spec_fn, spec)
+                except OSError:
+                    pass
+        return spec, wav
+
+    def __getitem__(self, index: int):
+        vecfn, wavfn, emofn, sid = self.items[index][:4]
+        vec = load_binfn(vecfn, self.text_channels)
+        spec, wav = self.get_audio(wavfn)
+        emo = load_binfn(emofn, 1024).reshape(-1)[:1024]
+        return {"vec": vec, "spec": spec, "wav": wav, "emo": emo, "sid": int(sid)}
+
+
+DEFAULT_BOUNDARIES = [32, 300, 400, 500, 600, 700, 800, 900, 1000]
+
+
+class BucketSampler:
+    """Deterministic length-bucketed batch sampler (data_utils.py:166-262).
+
+    num_replicas/rank: data-parallel process grid (jax.process_count /
+    jax.process_index for multi-host)."""
+
+    def __init__(self, lengths: Sequence[int], batch_size: int,
+                 boundaries: Sequence[int] = DEFAULT_BOUNDARIES,
+                 num_replicas: int = 1, rank: int = 0, shuffle: bool = True):
+        self.lengths = list(lengths)
+        self.batch_size = batch_size
+        self.boundaries = list(boundaries)
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.buckets = self._create_buckets()
+        total_bs = num_replicas * batch_size
+        self.num_samples_per_bucket = [
+            len(b) + ((total_bs - len(b) % total_bs) % total_bs) for b in self.buckets]
+        self.total_size = sum(self.num_samples_per_bucket)
+        self.num_samples = self.total_size // num_replicas
+
+    def _bisect(self, x):
+        for i in range(len(self.boundaries) - 1):
+            if self.boundaries[i] < x <= self.boundaries[i + 1]:
+                return i
+        return -1
+
+    def _create_buckets(self):
+        buckets = [[] for _ in range(len(self.boundaries) - 1)]
+        for i, l in enumerate(self.lengths):
+            idx = self._bisect(l)
+            if idx != -1:
+                buckets[idx].append(i)
+        for i in range(len(buckets) - 1, 0, -1):
+            if len(buckets[i]) == 0:
+                buckets.pop(i)
+                self.boundaries.pop(i + 1)
+        return buckets
+
+    def bucket_upper_bound(self, bucket_idx: int) -> int:
+        return self.boundaries[bucket_idx + 1]
+
+    def epoch_batches(self, epoch: int) -> List[Tuple[int, List[int]]]:
+        """Returns [(bucket_idx, [dataset indices])] for this rank/epoch."""
+        g = np.random.RandomState(epoch)
+        batches = []
+        for bi, bucket in enumerate(self.buckets):
+            if not bucket:
+                continue
+            ids = list(g.permutation(len(bucket))) if self.shuffle else list(range(len(bucket)))
+            num_samples = self.num_samples_per_bucket[bi]
+            rem = num_samples - len(bucket)
+            ids = ids + ids * (rem // len(bucket)) + ids[:rem % len(bucket)]
+            ids = ids[self.rank::self.num_replicas]
+            for j in range(len(ids) // self.batch_size):
+                batch = [bucket[k] for k in ids[j * self.batch_size:(j + 1) * self.batch_size]]
+                batches.append((bi, batch))
+        if self.shuffle:
+            order = g.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches
+
+    def __len__(self):
+        return self.num_samples // self.batch_size
+
+
+def collate(samples: List[dict], text_pad_to: int, spec_pad_to: int,
+            hop_length: int) -> Dict[str, np.ndarray]:
+    """Zero-pad to STATIC shapes: text to text_pad_to, spec frames to
+    spec_pad_to, wav to spec_pad_to*hop. Sorted by spec length descending
+    (data_utils.py:117-120)."""
+    order = np.argsort([-s["spec"].shape[0] for s in samples])
+    samples = [samples[i] for i in order]
+    B = len(samples)
+    C_text = samples[0]["vec"].shape[1]
+    F = samples[0]["spec"].shape[1]
+    wav_pad_to = spec_pad_to * hop_length
+    out = {
+        "x": np.zeros((B, text_pad_to, C_text), np.float32),
+        "x_lengths": np.zeros((B,), np.int32),
+        "spec": np.zeros((B, spec_pad_to, F), np.float32),
+        "spec_lengths": np.zeros((B,), np.int32),
+        "wav": np.zeros((B, wav_pad_to), np.float32),
+        "wav_lengths": np.zeros((B,), np.int32),
+        "emo": np.zeros((B, 1024), np.float32),
+        "sid": np.zeros((B,), np.int32),
+    }
+    for i, s in enumerate(samples):
+        tl = min(s["vec"].shape[0], text_pad_to)
+        sl = min(s["spec"].shape[0], spec_pad_to)
+        wl = min(len(s["wav"]), wav_pad_to)
+        out["x"][i, :tl] = s["vec"][:tl]
+        out["x_lengths"][i] = tl
+        out["spec"][i, :sl] = s["spec"][:sl]
+        out["spec_lengths"][i] = sl
+        out["wav"][i, :wl] = s["wav"][:wl]
+        out["wav_lengths"][i] = wl
+        out["emo"][i] = s["emo"]
+        out["sid"][i] = s["sid"]
+    return out
+
+
+def quantize_text_len(n: int, quantum: int = 32, cap: int = 384) -> int:
+    return min(((n + quantum - 1) // quantum) * quantum, cap)
+
+
+class Prefetcher:
+    """Background-thread batch producer (replaces torch DataLoader workers)."""
+
+    def __init__(self, dataset, sampler: BucketSampler, text_quantum: int = 32,
+                 depth: int = 2, transform=None):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.text_quantum = text_quantum
+        self.depth = depth
+        self.transform = transform
+
+    def epoch(self, epoch: int):
+        """Yields collated numpy batches for this epoch."""
+        batches = self.sampler.epoch_batches(epoch)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
+        stop = object()
+
+        def producer():
+            try:
+                for bi, idxs in batches:
+                    samples = [self.dataset[i] for i in idxs]
+                    text_pad = max(quantize_text_len(max(s["vec"].shape[0] for s in samples),
+                                                     self.text_quantum, self.dataset.max_text_len), self.text_quantum)
+                    spec_pad = self.sampler.bucket_upper_bound(bi)
+                    b = collate(samples, text_pad, spec_pad, self.dataset.hop_length)
+                    if self.transform is not None:
+                        b = self.transform(b)
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

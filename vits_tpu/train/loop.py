@@ -1,0 +1,245 @@
+"""Training orchestration.
+
+Capability parity with the reference train.py / train_stft.py `run()` +
+`train_and_evaluate()` + `evaluate()` (train.py:40-346): dataset + bucket
+sampler + prefetch, model/optimizer construction, checkpoint resume (tolerant
+merge; `adapt` resets step and optimizer — utils.py:19-45), per-epoch
+exponential LR decay, per-step annealed alignment noise (explicit schedule
+instead of the reference's mutated attribute, models.py:491-495), TensorBoard
+scalars/images/audio, eval synthesis, G/D checkpointing, and the stop
+conditions (adapt-steps cap, lr floor — train.py:149-150).
+
+TPU-native execution: one jitted GAN step over a (data, model) mesh
+(vits_tpu.parallel.mesh); multi-host uses jax.distributed + per-process data
+shards from the rank-strided bucket sampler.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vits_tpu.models.synthesizer import Synthesizer, DurationDiscriminator
+from vits_tpu.models.discriminators import MultiPeriodDiscriminator
+from vits_tpu.models.mrd import MultiWaveSTFTDiscriminator
+from vits_tpu.ops.stft import mel_spectrogram, spec_to_mel
+from vits_tpu.parallel.mesh import make_mesh, make_sharded_train_step, replicate, shard_batch
+from vits_tpu.train.data import BucketSampler, Prefetcher, TextAudioSpeakerDataset, DEFAULT_BOUNDARIES
+from vits_tpu.train.optim import Optimizer, exponential_lr
+from vits_tpu.train.step import TrainStepConfig, make_train_step
+from vits_tpu.utils import checkpoint as ckpt
+from vits_tpu.utils import summary as S
+
+
+def align_noise_at(hps, step: int) -> float:
+    t = hps.train
+    noise = getattr(t, "align_noise", 0.0) - getattr(t, "align_noise_decay", 0.0) * step
+    return max(noise, getattr(t, "align_noise_min", 0.0))
+
+
+def count_params(tree, exclude=("enc_q", "g")):
+    """Generator parameter count excluding enc_q and weight-norm g duplicates
+    (train.py:111-113 semantics)."""
+    total = 0
+    def rec(t, path):
+        nonlocal total
+        if isinstance(t, dict):
+            for k, v in t.items():
+                rec(v, path + [k])
+        else:
+            if "enc_q" in path or path[-1] == "g":
+                return
+            total += int(np.prod(np.shape(t)))
+    rec(tree, [])
+    return total
+
+
+def build_models(hps, variant: str, use_dur_dis: bool):
+    synth = Synthesizer.from_hps(hps)
+    if variant == "mel":
+        disc = MultiPeriodDiscriminator(getattr(hps.model, "use_spectral_norm", False))
+    else:
+        disc = MultiWaveSTFTDiscriminator()
+    dur = DurationDiscriminator(hps.model.hidden_channels, 64, 5) if use_dur_dis else None
+    return synth, disc, dur
+
+
+def build_optimizers(hps, variant: str, use_dur_dis: bool):
+    t = hps.train
+    gen_opt = Optimizer("adamw", tuple(t.betas), t.eps, t.weight_decay)
+    dkind = "adamw" if variant == "mel" else "radam"
+    disc_opt = Optimizer(dkind, tuple(t.betas), t.eps, 0.0)
+    dur_opt = Optimizer(dkind, tuple(t.betas), t.eps, 0.0) if use_dur_dis else None
+    return gen_opt, disc_opt, dur_opt
+
+
+def init_state(hps, synth, disc, dur, gen_opt, disc_opt, dur_opt, seed=None):
+    key = jax.random.PRNGKey(hps.train.seed if seed is None else seed)
+    kg, kd, kp = jax.random.split(key, 3)
+    state = {"gen": synth.init_params(kg), "disc": disc.init_params(kd),
+             "step": jnp.zeros((), jnp.int32)}
+    state["gen_opt"] = gen_opt.init(state["gen"])
+    state["disc_opt"] = disc_opt.init(state["disc"])
+    if dur is not None:
+        state["dur"] = dur.init_params(kp)
+        state["dur_opt"] = dur_opt.init(state["dur"])
+    return state
+
+
+def resume(hps, state, logger=None):
+    """Resume from latest (or explicit) checkpoints with the reference's
+    tolerant merge; adapt resets step/optimizer (utils.py:19-45)."""
+    model_dir = hps.model_dir
+    adapt = getattr(hps, "adapt", False)
+    epoch = 1
+    gpath = getattr(hps, "ckptG", None) or ckpt.latest_checkpoint_path(model_dir, "G_*.npz")
+    dpath = getattr(hps, "ckptD", None) or ckpt.latest_checkpoint_path(model_dir, "D_*.npz")
+    if gpath and os.path.exists(gpath):
+        tmpl = {"model": state["gen"]} if adapt else {"model": state["gen"], "optimizer": state["gen_opt"]}
+        loaded, step, epoch = ckpt.load_checkpoint(gpath, tmpl)
+        state["gen"] = loaded["model"]
+        if not adapt:
+            state["gen_opt"] = loaded["optimizer"]
+            state["step"] = jnp.asarray(step, jnp.int32)
+        if logger:
+            logger.info("Resumed G from %s (adapt=%s)", gpath, adapt)
+    if dpath and os.path.exists(dpath):
+        tmpl = {"model": state["disc"]} if adapt else {"model": state["disc"], "optimizer": state["disc_opt"]}
+        loaded, _, _ = ckpt.load_checkpoint(dpath, tmpl)
+        state["disc"] = loaded["model"]
+        if not adapt:
+            state["disc_opt"] = loaded["optimizer"]
+        if logger:
+            logger.info("Resumed D from %s (adapt=%s)", dpath, adapt)
+    if adapt:
+        state["step"] = jnp.zeros((), jnp.int32)
+        epoch = 1
+    return state, epoch
+
+
+def save_all(hps, state, epoch: int):
+    step = int(state["step"])
+    ckpt.save_checkpoint(os.path.join(hps.model_dir, f"G_{step}.npz"),
+                         {"model": jax.device_get(state["gen"]),
+                          "optimizer": jax.device_get(state["gen_opt"])},
+                         step=step, epoch=epoch)
+    ckpt.save_checkpoint(os.path.join(hps.model_dir, f"D_{step}.npz"),
+                         {"model": jax.device_get(state["disc"]),
+                          "optimizer": jax.device_get(state["disc_opt"])},
+                         step=step, epoch=epoch)
+    if "dur" in state:
+        ckpt.save_checkpoint(os.path.join(hps.model_dir, f"P_{step}.npz"),
+                             {"model": jax.device_get(state["dur"]),
+                              "optimizer": jax.device_get(state["dur_opt"])},
+                             step=step, epoch=epoch)
+
+
+def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng):
+    """Rank-0 single-utterance eval synthesis (train.py:289-346)."""
+    if len(eval_dataset) == 0:
+        return
+    item = eval_dataset[0]
+    x = jnp.asarray(item["vec"])[None]
+    emo = jnp.asarray(item["emo"])[None]
+    sid = jnp.asarray([item["sid"]], jnp.int32)
+    o, attn, y_mask, _ = synth.inference(
+        gen_params, rng, x, jnp.asarray([x.shape[1]], jnp.int32), emo, sid,
+        noise_scale=getattr(hps.data, "noise_scale", 1.0), max_frames=1000)
+    y_len = int(jnp.sum(y_mask[0])) * hps.data.hop_length
+    wav = np.asarray(o[0, :y_len, 0], dtype=np.float32)
+    mel = np.asarray(mel_spectrogram(jnp.asarray(wav)[None], hps.data.filter_length,
+                                     hps.data.n_mel_channels, hps.data.sampling_rate,
+                                     hps.data.hop_length, hps.data.win_length,
+                                     hps.data.mel_fmin, hps.data.mel_fmax))[0]
+    S.summarize(writer, global_step,
+                images={"gen/mel": S.plot_spectrogram_to_numpy(mel.T)},
+                audios={"gen/audio": wav},
+                audio_sampling_rate=hps.data.sampling_rate)
+
+
+def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
+        mesh=None, log_cb=None):
+    """Main training entry (single- or multi-host; call
+    jax.distributed.initialize() before this on multi-host)."""
+    is_main = jax.process_index() == 0
+    logger = S.get_logger(hps.model_dir) if is_main else None
+    writer = S.SummaryWriter(hps.model_dir) if is_main else None
+    writer_eval = S.SummaryWriter(os.path.join(hps.model_dir, "eval")) if is_main else None
+    if is_main:
+        logger.info(hps.to_dict() if hasattr(hps, "to_dict") else hps)
+        S.check_git_hash(hps.model_dir)
+
+    use_dur_dis = getattr(hps, "use_dur_dis", False)
+    dataset = TextAudioSpeakerDataset(hps.data.training_files, hps)
+    eval_dataset = TextAudioSpeakerDataset(hps.data.validation_files, hps) \
+        if is_main and os.path.exists(hps.data.validation_files) else []
+    sampler = BucketSampler(dataset.lengths, hps.train.batch_size,
+                            list(getattr(hps.train, "bucket_boundaries", DEFAULT_BOUNDARIES)),
+                            num_replicas=jax.process_count(), rank=jax.process_index())
+    prefetcher = Prefetcher(dataset, sampler)
+
+    synth, disc, dur = build_models(hps, variant, use_dur_dis)
+    gen_opt, disc_opt, dur_opt = build_optimizers(hps, variant, use_dur_dis)
+    state = init_state(hps, synth, disc, dur, gen_opt, disc_opt, dur_opt)
+    state, epoch_start = resume(hps, state, logger)
+
+    if is_main:
+        logger.info("Load train files = %d", len(dataset))
+        logger.info("Total parameters of Generator: %d", count_params(state["gen"]))
+        logger.info("Total parameters of Discriminator: %d",
+                    count_params(state["disc"], exclude=()))
+
+    cfg = TrainStepConfig.from_hps(hps, variant=variant, use_dur_dis=use_dur_dis)
+    step_fn = make_train_step(synth, disc, cfg, gen_opt, disc_opt, dur, dur_opt)
+    mesh = mesh or make_mesh()
+    sharded_step = make_sharded_train_step(step_fn, mesh)
+    state = replicate(mesh, state)
+
+    t = hps.train
+    global_step = int(state["step"])
+    rng = jax.random.PRNGKey(t.seed + 17)
+    t_last = time.time()
+    audio_sec_acc = 0.0
+    for epoch in range(epoch_start, t.epochs + 1):
+        lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
+        for batch in prefetcher.epoch(epoch):
+            audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
+            batch.pop("wav_lengths", None)
+            sb = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            state, metrics = sharded_step(state, sb, sub, lr, lr,
+                                          align_noise_at(hps, global_step))
+            global_step += 1
+            audio_sec_acc += audio_sec
+            if is_main and global_step % t.log_interval == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()
+                     if np.ndim(v) == 0}
+                dt = time.time() - t_last
+                m["audio_sec_per_s"] = audio_sec_acc / max(dt, 1e-9)
+                t_last = time.time()
+                audio_sec_acc = 0.0
+                logger.info("step %d epoch %d lr %.6g | %s", global_step, epoch, lr,
+                            {k: round(v, 5) for k, v in m.items()})
+                S.summarize(writer, global_step,
+                            scalars={f"loss/{k}": v for k, v in m.items()})
+                if log_cb:
+                    log_cb(global_step, m)
+            if is_main and global_step % t.eval_interval == 0:
+                rng, sub = jax.random.split(rng)
+                evaluate(hps, synth, jax.device_get(state["gen"]), eval_dataset,
+                         writer_eval, global_step, sub)
+                save_all(hps, jax.device_get(state), epoch)
+            if max_steps is not None and global_step >= max_steps:
+                break
+        if max_steps is not None and global_step >= max_steps:
+            break
+        if (getattr(hps, "adapt", False) and global_step > t.steps) or lr <= 5e-6:
+            break
+    if is_main:
+        save_all(hps, jax.device_get(state), epoch)
+    return state, global_step

@@ -1,0 +1,138 @@
+"""Logging / TensorBoard summaries / plots.
+
+Parity with the reference utils.py: get_logger (utils.py:234-246), summarize
+(utils.py:60-68), plot_spectrogram_to_numpy / plot_alignment_to_numpy
+(utils.py:81-133), check_git_hash (utils.py:214-231). TensorBoard writing uses
+torch.utils.tensorboard when available and falls back to a JSONL event log.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger("vits_tpu")
+
+
+def get_logger(model_dir: str, filename: str = "train.log") -> logging.Logger:
+    lg = logging.getLogger(os.path.basename(model_dir))
+    lg.setLevel(logging.DEBUG)
+    os.makedirs(model_dir, exist_ok=True)
+    fmt = logging.Formatter("%(asctime)s\t%(name)s\t%(levelname)s\t%(message)s")
+    h = logging.FileHandler(os.path.join(model_dir, filename))
+    h.setLevel(logging.DEBUG)
+    h.setFormatter(fmt)
+    lg.addHandler(h)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    lg.addHandler(sh)
+    return lg
+
+
+class SummaryWriter:
+    """TensorBoard writer with JSONL fallback."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter as TB
+            self._tb = TB(log_dir=log_dir)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
+
+    def add_scalar(self, tag, value, step):
+        if self._tb:
+            self._tb.add_scalar(tag, float(value), step)
+        else:
+            self._jsonl.write(json.dumps({"t": time.time(), "step": int(step),
+                                          "tag": tag, "value": float(value)}) + "\n")
+            self._jsonl.flush()
+
+    def add_image(self, tag, img_hwc, step):
+        if self._tb:
+            self._tb.add_image(tag, img_hwc, step, dataformats="HWC")
+
+    def add_audio(self, tag, audio, step, sample_rate):
+        if self._tb:
+            self._tb.add_audio(tag, audio.reshape(1, -1), step, sample_rate)
+
+    def flush(self):
+        if self._tb:
+            self._tb.flush()
+
+
+def summarize(writer: SummaryWriter, global_step: int, scalars: Dict = {},
+              images: Dict = {}, audios: Dict = {}, audio_sampling_rate: int = 22050):
+    for k, v in scalars.items():
+        writer.add_scalar(k, v, global_step)
+    for k, v in images.items():
+        writer.add_image(k, v, global_step)
+    for k, v in audios.items():
+        writer.add_audio(k, v, global_step, audio_sampling_rate)
+
+
+def _fig_to_numpy(fig):
+    fig.canvas.draw()
+    data = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    w, h = fig.canvas.get_width_height()
+    return data.reshape(h, w, 4)[..., :3].copy()
+
+
+def plot_spectrogram_to_numpy(spectrogram: np.ndarray) -> np.ndarray:
+    """spectrogram: (C, T) or (T, C) — plotted frames-x, channels-y."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pylab as plt
+    if spectrogram.shape[0] > spectrogram.shape[1]:
+        spectrogram = spectrogram.T
+    fig, ax = plt.subplots(figsize=(10, 2))
+    im = ax.imshow(spectrogram, aspect="auto", origin="lower", interpolation="none")
+    plt.colorbar(im, ax=ax)
+    plt.xlabel("Frames")
+    plt.ylabel("Channels")
+    plt.tight_layout()
+    out = _fig_to_numpy(fig)
+    plt.close(fig)
+    return out
+
+
+def plot_alignment_to_numpy(alignment: np.ndarray, info: Optional[str] = None) -> np.ndarray:
+    """alignment: (T_y, T_x) hard path."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pylab as plt
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(alignment.T, aspect="auto", origin="lower", interpolation="none")
+    fig.colorbar(im, ax=ax)
+    xlabel = "Decoder timestep" + (f"\n\n{info}" if info else "")
+    plt.xlabel(xlabel)
+    plt.ylabel("Encoder timestep")
+    plt.tight_layout()
+    out = _fig_to_numpy(fig)
+    plt.close(fig)
+    return out
+
+
+def check_git_hash(model_dir: str):
+    source_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+    if not os.path.exists(os.path.join(source_dir, ".git")):
+        logger.warning("%s is not a git repository; hash comparison ignored", source_dir)
+        return
+    cur_hash = subprocess.getoutput("git rev-parse HEAD")
+    path = os.path.join(model_dir, "githash")
+    if os.path.exists(path):
+        saved = open(path).read()
+        if saved != cur_hash:
+            logger.warning("git hash mismatch: %s(saved) != %s(current)",
+                           saved[:8], cur_hash[:8])
+    else:
+        os.makedirs(model_dir, exist_ok=True)
+        open(path, "w").write(cur_hash)

@@ -1,0 +1,297 @@
+"""Text→speech product pipeline.
+
+Capability parity with the reference vits_wrap.py (VITSWrap:29-218): text
+frontend, punctuation-aware golden-ratio sentence splitting for long inputs
+(vits_wrap.py:101-166), per-segment synthesis, prosody controls (volume,
+speed via duration rate, pitch via resample, optional bandwidth extension
+hook, tail silence), 16-bit WAV byte packing with header (vits_wrap.py:16-26),
+and RTF + frontend/backend timing + per-segment metadata in the response
+(vits_wrap.py:91-99, 168-218).
+
+The closed-source `textparser` frontend (text → (N, text_channels) float
+vectors) is an external dependency in the reference too; here it is pluggable:
+pass any callable `frontend(utt_id, text) -> (utt_id, segtext, vectors)`. A
+deterministic hash-based stub (`HashTextFrontend`) keeps the full pipeline
+drivable end-to-end in its absence. `fbandext` bandwidth extension is likewise
+an optional hook (vits_wrap.py:48-52).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from fractions import Fraction
+from typing import Callable, Optional
+
+import numpy as np
+
+from vits_tpu.infer import EmoVITS
+from vits_tpu.utils.audio import wav_header
+from vits_tpu.version import __version__
+
+
+def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (scipy), replacing librosa.resample."""
+    if orig_sr == target_sr:
+        return wav
+    from scipy.signal import resample_poly
+    frac = Fraction(target_sr, orig_sr).limit_denominator(1000)
+    return resample_poly(wav, frac.numerator, frac.denominator).astype(np.float32)
+
+
+class _SegText:
+    """Minimal segtext carrier matching the reference's .printer() surface."""
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def printer(self):
+        return self.text
+
+
+class HashTextFrontend:
+    """Deterministic text→vector stub standing in for the external
+    `textparser` package (one frame per character, seeded by char codes).
+    For production, install/point to a real frontend with the same signature."""
+
+    max_utt_length = 64
+
+    def __init__(self, text_channels: int = 256, loglv: int = 0):
+        self.text_channels = text_channels
+
+    def update(self):
+        pass
+
+    def __call__(self, utt_id: str, utt_text: str):
+        n = max(len(utt_text), 1)
+        vec = np.zeros((n, self.text_channels), np.float32)
+        for i, ch in enumerate(utt_text):
+            rng = np.random.RandomState(ord(ch) % (2 ** 31))
+            vec[i] = rng.randn(self.text_channels).astype(np.float32) * 0.5
+        return utt_id, _SegText(utt_text), vec
+
+
+class VITSWrap:
+    default_spkid = 1
+    default_volume = 1.0
+    default_speed = 1.0
+    default_pitch = 1.0
+    default_tail_silence = 0.0  # seconds
+
+    def __init__(self, ckpt_path: Optional[str] = None, *, loglv: int = 0,
+                 frontend: Optional[Callable] = None, bandwidth_ext=None):
+        self.loglv = loglv
+        self.speecher = EmoVITS(ckpt_path, loglv=loglv)
+        if frontend is None:
+            try:
+                from textparser import TextParser  # external, optional
+                frontend = TextParser(loglv=loglv)
+            except ImportError:
+                frontend = HashTextFrontend(self.speecher.text_channels, loglv)
+        self.textparser = frontend
+        self.asv = bandwidth_ext  # fbandext equivalent hook
+        self.default_sampling_rate = self.speecher.sampling_rate
+        self.max_utt_length = getattr(frontend, "max_utt_length", 64)
+        if loglv > 0:
+            sys.stderr.write(f"VITSWrap: init Successful, version={__version__}!\n")
+
+    def update(self):
+        self.textparser.update()
+        self.speecher.update()
+
+    def _parse_input(self, inputs):
+        volume = max(0.0, min(1.0, float(inputs.get("volume", self.default_volume))))
+        speed = max(0.5, min(2.0, float(inputs.get("speed", self.default_speed))))
+        pitch = max(0.5, min(2.0, float(inputs.get("pitch", self.default_pitch))))
+        sampling_rate = min(48000, max(8000, int(inputs.get("sampling_rate", self.default_sampling_rate))))
+        tail_silence = float(inputs.get("tail_silence", self.default_tail_silence))
+        speed /= pitch  # pitch shift borrows duration then resamples back
+        utt_id = inputs.get("id", str(time.time()).replace(".", "_"))
+        utt_text = inputs.get("text", "。")
+        spkid = int(inputs.get("spkid", self.default_spkid))
+        emotion = inputs.get("emotion")
+        return (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
+                sampling_rate, tail_silence, emotion)
+
+    # --- long-text splitting (vits_wrap.py:101-166) ---
+    def _split_utt_text(self, utt_id, utt_text):
+        if not utt_text:
+            utt_text = "。"
+        utt_text = utt_text.strip()
+        if len(utt_text) <= self.max_utt_length:
+            return [utt_id], [utt_text]
+
+        center_pos = int(self.max_utt_length * 0.618)
+        max_length = self.max_utt_length
+
+        def find_nearest_center(texts):
+            if len(texts) < center_pos + 2:
+                return len(texts)
+            if texts[center_pos:center_pos + 2] in ("——", "……"):
+                return center_pos + 2
+            for _chr in ["。", "！", "!", "？", "?", "；", ";", "，"]:
+                find_pos = texts[:center_pos][::-1].find(_chr)
+                if 0 <= find_pos < center_pos:
+                    return center_pos - find_pos
+                find_pos = texts.find(_chr, center_pos)
+                if 0 <= find_pos < max_length:
+                    return find_pos + len(_chr)
+            for _chr in [".", ",", ":", "："]:
+                rev = texts[:center_pos][::-1]
+                cl = len(_chr)
+                find_pos = rev.find(_chr)
+                if (0 <= find_pos < center_pos
+                        and find_pos - cl >= 0 and not rev[find_pos - cl].isdigit()
+                        and find_pos + cl < center_pos and not rev[find_pos + cl].isdigit()):
+                    return center_pos - find_pos
+                find_pos = texts.find(_chr, center_pos)
+                if (0 <= find_pos < max_length
+                        and find_pos - cl >= 0 and not texts[find_pos - cl].isdigit()
+                        and find_pos + cl < len(texts) and not texts[find_pos + cl].isdigit()):
+                    return find_pos + cl
+            for _chr in ["——", "……", "、", "（", "）", "(", ")", "[", "]", "【", "】"]:
+                find_pos = texts[:center_pos][::-1].find(_chr)
+                if 0 <= find_pos < center_pos:
+                    return center_pos - find_pos
+                find_pos = texts.find(_chr, center_pos)
+                if 0 <= find_pos < max_length:
+                    return find_pos + len(_chr)
+            for _chr in ["~", " ", "\t"]:
+                find_pos = texts[:center_pos][::-1].find(_chr)
+                if 0 <= find_pos < center_pos:
+                    return center_pos - find_pos
+                find_pos = texts.find(_chr, center_pos)
+                if 0 <= find_pos < max_length:
+                    return find_pos + len(_chr)
+            return min(len(texts), max_length)
+
+        batch_utt_id, batch_utt_text = [], []
+        i = 0
+        while len(utt_text) > 0:
+            pos = find_nearest_center(utt_text)
+            if pos > self.max_utt_length:
+                pos = self.max_utt_length - 1
+                batch_utt_text.append(utt_text[:pos] + "，")
+            else:
+                batch_utt_text.append(utt_text[:pos])
+            batch_utt_id.append(f"{utt_id}-{i}")
+            utt_text = utt_text[pos:]
+            i += 1
+        return batch_utt_id, batch_utt_text
+
+    def speaking(self, inputs: dict) -> dict:
+        (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
+         sampling_rate, tail_silence, emotion) = self._parse_input(inputs)
+
+        batch_utt_id, batch_utt_text = self._split_utt_text(utt_id, utt_text)
+        batch_wav, batch_wavlen = [], 0
+        segment_info, start_ms, end_ms = [], 0.0, 0.0
+        time_used_frontend, time_used_backend = 0.0, 0.0
+        for uid, text in zip(batch_utt_id, batch_utt_text):
+            start = time.time()
+            uid, utt_segtext, utt_vector = self.textparser(uid, text)
+            end = time.time()
+            time_used_frontend += end - start
+
+            start = end
+            wav, emotion = self.speecher.infer(spkid, utt_vector, emotion, duration_rate=speed)
+            batch_wavlen += len(wav)
+            if pitch != 1.0:
+                wav = resample(wav, orig_sr=int(self.default_sampling_rate / pitch),
+                               target_sr=self.default_sampling_rate)
+            sr = self.default_sampling_rate
+            if sampling_rate > sr and self.asv is not None:
+                wav, sr = self.asv.infer(wav[None], sr)
+                wav = np.squeeze(wav, axis=0)
+            if sampling_rate != sr:
+                wav = resample(wav, orig_sr=sr, target_sr=sampling_rate)
+            wav = np.clip(wav * volume * 32767, -32768, 32767).astype(np.int16)
+            if tail_silence > 0:
+                wav = np.pad(wav, (0, int(tail_silence * sampling_rate)))
+            batch_wav.append(wav)
+            time_used_backend += time.time() - start
+
+            end_ms += len(wav) / sampling_rate * 1000
+            segment_info.append({
+                "start_ms": start_ms, "end_ms": end_ms,
+                "input_text": text, "segtext": utt_segtext.printer(),
+            })
+            start_ms = end_ms
+
+        rtf = (time_used_frontend + time_used_backend) / max(batch_wavlen / self.default_sampling_rate, 1e-9)
+        wav_bytes = b"".join(w.tobytes() for w in batch_wav)
+        outputs = dict(inputs)
+        outputs["wav"] = wav_header(len(wav_bytes), sampling_rate, 16) + wav_bytes
+        outputs["sr"] = sampling_rate
+        outputs["segment_info"] = segment_info
+        outputs["time_used_frontend"] = time_used_frontend * 1000
+        outputs["time_used_backend"] = time_used_backend * 1000
+        outputs["rtf"] = rtf
+        return outputs
+
+
+def main(argv=None):
+    """CLI synthesis (parity: vits_wrap.py __main__, 222-327)."""
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", "-c", default=None, type=str)
+    parser.add_argument("--emotion", "-e", default=None, type=str)
+    parser.add_argument("--utterance", "-u", type=str)
+    parser.add_argument("--textfile", "-t", type=str)
+    parser.add_argument("--spkid", "--sid", "-i", type=int, default=1)
+    parser.add_argument("--volume", "-v", type=float, default=1.0)
+    parser.add_argument("--speed", "-s", type=float, default=1.0)
+    parser.add_argument("--pitch", "-p", type=float, default=1.0)
+    parser.add_argument("--tail-silence", "-a", type=float, default=0.0)
+    parser.add_argument("--sampling-rate", "-r", type=int)
+    parser.add_argument("--outdir", "-o", type=str, required=True)
+    parser.add_argument("--outfn", "-n", type=str, required=True)
+    parser.add_argument("--loglv", "-l", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    if args.utterance is None and args.textfile is None:
+        raise ValueError("Please specify either --utterance or --textfile")
+    os.makedirs(args.outdir, exist_ok=True)
+    mytts = VITSWrap(args.checkpoint, loglv=args.loglv)
+
+    emotion = args.emotion.split(":") if args.emotion is not None else None
+    if emotion is not None:
+        if os.path.exists(emotion[0]):
+            emotion[0] = np.fromfile(emotion[0], dtype=np.float32).reshape(-1, 1024)
+        else:
+            emotion[0] = int(emotion[0])
+        emotion = (emotion[0], int(emotion[1]) if len(emotion) > 1 else -1)
+
+    inputs = {"spkid": args.spkid, "volume": args.volume, "speed": args.speed,
+              "pitch": args.pitch, "emotion": emotion}
+    if args.sampling_rate is not None:
+        inputs["sampling_rate"] = args.sampling_rate
+    if args.tail_silence is not None:
+        inputs["tail_silence"] = max(0, args.tail_silence)
+
+    utt_text = []
+    if args.utterance is not None:
+        utt_text.append(args.utterance)
+    if args.textfile is not None:
+        with open(args.textfile, "rt") as f:
+            utt_text += [l.strip() for l in f if l.strip()]
+
+    outfn = args.outfn or ""
+    if outfn and not outfn.lower().endswith(".wav"):
+        for idx, text in enumerate(utt_text, 1):
+            inputs["text"] = text
+            outputs = mytts.speaking(inputs)
+            with open(os.path.join(args.outdir, f"{outfn}{idx:06d}.wav"), "wb") as f:
+                f.write(outputs.pop("wav"))
+    else:
+        inputs["text"] = " ".join(utt_text)
+        outputs = mytts.speaking(inputs)
+        with open(os.path.join(args.outdir, outfn), "wb") as f:
+            f.write(outputs.pop("wav"))
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()
