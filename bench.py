@@ -31,7 +31,7 @@ def main():
 
     hps = get_hparams_from_file(default_config_path("base"))
     synth = Synthesizer.from_hps(hps)
-    params = fold_weight_norm(synth.init_params(jax.random.PRNGKey(0)))
+    params32 = fold_weight_norm(synth.init_params(jax.random.PRNGKey(0)))
     sr = hps.data.sampling_rate
     hop = hps.data.hop_length
     inter = hps.model.inter_channels
@@ -39,49 +39,61 @@ def main():
     # ---- config: batch-8 emotion-conditioned decode (BASELINE config 2) ----
     B, T_x, T_y = 8, 96, 768  # ~9.2 s audio per utterance at 16 kHz / hop 192
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(B, T_x, hps.data.text_channels).astype(np.float32))
-    emo = jnp.asarray(rng.randn(B, 1024).astype(np.float32))
+    inputs32 = dict(
+        x=jnp.asarray(rng.randn(B, T_x, hps.data.text_channels).astype(np.float32)),
+        emo=jnp.asarray(rng.randn(B, 1024).astype(np.float32)),
+        noise=jnp.asarray(rng.randn(B, T_y, inter).astype(np.float32) * hps.data.noise_scale),
+    )
     sid = jnp.asarray(rng.randint(0, hps.data.n_speakers, B), jnp.int32)
-    noise = jnp.asarray(rng.randn(B, T_y, inter).astype(np.float32) * hps.data.noise_scale)
     durations = jnp.full((B, T_x), T_y // T_x, jnp.float32)
-    attn = infer_path(durations, T_y)
+    attn32 = infer_path(durations, T_y)
 
-    p1 = jax.jit(lambda p, x, e, s: synth.infer_p1(p, x, e, s))
-    p2 = jax.jit(lambda p, a, m, s, g, n: synth.infer_p2(p, a, m, s, g, n))
-
-    m_p, s_p, logw, g = p1(params, x, emo, sid)
-    wav = p2(params, attn, m_p, s_p, g, noise)
-    np.asarray(wav)  # warm
-
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
+    def run_variant(dtype):
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
+        params = cast(params32)
+        x, emo, noise = cast(inputs32["x"]), cast(inputs32["emo"]), cast(inputs32["noise"])
+        attn = cast(attn32)
+        p1 = jax.jit(lambda p, x, e, s: synth.infer_p1(p, x, e, s))
+        p2 = jax.jit(lambda p, a, m, s, g, n: synth.infer_p2(p, a, m, s, g, n))
         m_p, s_p, logw, g = p1(params, x, emo, sid)
-        wav = p2(params, attn, m_p, s_p, g, noise)
-    wav = np.asarray(wav)
-    dt = (time.time() - t0) / iters
-    audio_sec = B * T_y * hop / sr
-    aps_b8 = audio_sec / dt
+        wav = np.asarray(p2(params, attn, m_p, s_p, g, noise), np.float32)  # warm
+        iters = 5
+        t0 = time.time()
+        for _ in range(iters):
+            m_p, s_p, logw, g = p1(params, x, emo, sid)
+            wav_d = p2(params, attn, m_p, s_p, g, noise)
+        wav = np.asarray(wav_d, np.float32)
+        dt = (time.time() - t0) / iters
+        aps = B * T_y * hop / sr / dt
 
-    # ---- batch-1 RTF (BASELINE metric; infer.py:284-288) ----
-    x1, emo1, sid1 = x[:1], emo[:1], sid[:1]
-    noise1, attn1 = noise[:1], attn[:1]
-    m_p, s_p, logw, g = p1(params, x1, emo1, sid1)
-    wav1 = np.asarray(p2(params, attn1, m_p, s_p, g, noise1))
-    t0 = time.time()
-    for _ in range(iters):
-        m_p, s_p, logw, g = p1(params, x1, emo1, sid1)
-        wav1 = p2(params, attn1, m_p, s_p, g, noise1)
-    wav1 = np.asarray(wav1)
-    dt1 = (time.time() - t0) / iters
-    rtf = dt1 / (T_y * hop / sr)
+        x1, emo1, noise1, attn1 = x[:1], emo[:1], noise[:1], attn[:1]
+        m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+        np.asarray(p2(params, attn1, m_p, s_p, g, noise1))
+        t0 = time.time()
+        for _ in range(iters):
+            m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+            wav1 = p2(params, attn1, m_p, s_p, g, noise1)
+        np.asarray(wav1)
+        rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
+        return aps, rtf, wav
+
+    aps32, rtf32, wav32 = run_variant(jnp.float32)
+    apsbf, rtfbf, wavbf = run_variant(jnp.bfloat16)
+    # sanity: bf16 waveform stays correlated with fp32 (parity guard)
+    corr = float(np.corrcoef(wav32.ravel(), wavbf.ravel())[0, 1])
+    use_bf16 = np.isfinite(corr) and corr > 0.98
+    aps, rtf = (apsbf, rtfbf) if use_bf16 and apsbf > aps32 else (aps32, rtf32)
 
     print(json.dumps({
         "metric": "synthesized_audio_sec_per_s_per_chip",
-        "value": round(aps_b8, 2),
+        "value": round(aps, 2),
         "unit": "audio_sec/s",
-        "vs_baseline": round(aps_b8 / 1.0, 2),
+        "vs_baseline": round(aps / 1.0, 2),
         "batch1_rtf": round(rtf, 5),
+        "fp32_audio_sec_per_s": round(aps32, 2),
+        "bf16_audio_sec_per_s": round(apsbf, 2),
+        "bf16_fp32_corr": round(corr, 5),
         "batch": B,
         "frames": T_y,
         "backend": jax.default_backend(),

@@ -206,7 +206,7 @@ class TextEncoder:
         x = LayerNorm(h).apply(p["emb"]["1"], x)
         x = x + Dense(1024, h).apply(p["emo_proj"], emo)[:, None, :]
         from vits_tpu.ops.seq import gen_sin_table
-        pe = gen_sin_table(max(self.max_pos, T), h)[:, :T]
+        pe = gen_sin_table(max(self.max_pos, T), h)[:, :T].astype(x.dtype)
         x = x * math.sqrt(h) + pe * p["alpha"]
         x = self._encoder().apply(p["encoder"], x, x_mask, g=g, rng=rng, train=train)
         stats = _mask(Conv1d(h, self.out_channels * 2, 1).apply(p["proj"], x), x_mask)
@@ -591,6 +591,8 @@ class Synthesizer:
     def infer_p1(self, p, x, emo, sid, x_mask=None):
         """Phase 1 of two-phase serving (models.py:558-566): encode text +
         predict durations. Host computes the alignment; phase 2 decodes."""
+        if x_mask is not None:
+            x_mask = x_mask.astype(x.dtype)
         g = self.emb_g.apply(p["emb_g"], sid)
         x_h, m_p, logs_p = self.enc_p.apply(p["enc_p"], x, x_mask, emo=emo, g=g)
         s_p = jnp.exp(logs_p)
@@ -625,6 +627,10 @@ class Synthesizer:
     def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None):
         """Phase 2 (models.py:568-575): expand prior along attn, flow-reverse,
         decode. noise: (B, T_y, C) pre-scaled noise."""
+        attn = attn.astype(m_p.dtype)
+        noise = noise.astype(m_p.dtype)
+        if y_mask is not None:
+            y_mask = y_mask.astype(m_p.dtype)
         m_p_e = jnp.einsum("byx,bxc->byc", attn, m_p)
         s_p_e = jnp.einsum("byx,bxc->byc", attn, s_p)
         z_p = m_p_e + noise * s_p_e

@@ -66,6 +66,53 @@ def make_sharded_train_step(train_step, mesh: Mesh):
     )
 
 
+def generator_param_specs(params, mesh: Mesh, min_channels: int = 128):
+    """Tensor-parallel sharding spec tree for the synthesizer params: the wide
+    HiFi-GAN decoder kernels are sharded channel-wise over the `model` axis
+    (BASELINE north star — decoder sharded when it exceeds one chip); XLA
+    GSPMD propagates activations and inserts the collectives. Everything else
+    stays replicated.
+
+    Kernels (K, C_in, C_out): C_out sharded when divisible by the axis size
+    and >= min_channels; matching biases likewise. Adjacent layers with
+    conflicting layouts get resharded automatically — correctness is
+    GSPMD-guaranteed, layout choice is a perf knob.
+    """
+    size = mesh.shape["model"]
+
+    def rec(tree, in_dec):
+        if isinstance(tree, dict):
+            return {k: rec(v, in_dec or k == "dec") for k, v in tree.items()}
+        shape = tree.shape
+        if (in_dec and size > 1 and len(shape) >= 2
+                and shape[-1] % size == 0 and shape[-1] >= min_channels):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return rec(params, False)
+
+
+def shard_generator_params(mesh: Mesh, params):
+    specs = generator_param_specs(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, specs)
+
+
+def make_tp_infer(synth, mesh: Mesh, phase: str = "p2"):
+    """jit infer_p1/p2 with decoder-sharded params and replicated inputs."""
+    rep = replicated(mesh)
+    if phase == "p1":
+        fn = lambda p, x, m, e, s: synth.infer_p1(p, x, e, s, x_mask=m)
+    else:
+        fn = lambda p, a, m, s, g, n, ym: synth.infer_p2(p, a, m, s, g, n, y_mask=ym)
+
+    def wrapper(params, *args):
+        specs = generator_param_specs(params, mesh)
+        return jax.jit(fn, in_shardings=(specs,) + (rep,) * len(args),
+                       out_shardings=rep)(params, *args)
+
+    return wrapper
+
+
 def local_batch_to_global(mesh: Mesh, local_batch: dict) -> dict:
     """Multi-host: assemble global sharded arrays from per-process local
     shards (the bucket sampler already rank-strides by jax.process_index())."""

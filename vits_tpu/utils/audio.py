@@ -92,7 +92,15 @@ def wav_header(data_len: int, sample_rate: int, bits: int = 16, channels: int = 
 
 
 def load_wav_norm(path: str) -> Tuple[np.ndarray, int]:
-    """Peak-normalized load (utils.load_wav_to_torch, utils.py:136-139)."""
+    """Peak-normalized load (utils.load_wav_to_torch, utils.py:136-139).
+    Uses the native C++ decoder (vits_tpu.native) when built."""
+    try:
+        from vits_tpu import native
+        out = native.read_wav_norm(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     x, sr = read_wav(path)
     peak = np.abs(x).max()
     if peak > 0:
@@ -112,14 +120,21 @@ def _hann(win_length: int) -> np.ndarray:
 def spectrogram_np(y: np.ndarray, n_fft: int, hop_length: int, win_length: int) -> np.ndarray:
     """y: (T,) float32 -> (T', F) linear magnitudes, same numerics as
     ops.stft.spectrogram (center=False, reflect pre-pad (n_fft-hop)/2,
-    sqrt(power + 1e-6))."""
-    pad = (n_fft - hop_length) // 2
-    y = np.pad(y, (pad, pad), mode="reflect")
-    n_frames = (len(y) - n_fft) // hop_length + 1
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    sqrt(power + 1e-6)). Framing runs in the native library when built."""
     window = np.zeros(n_fft, dtype=np.float32)
     lpad = (n_fft - win_length) // 2
     window[lpad:lpad + win_length] = _hann(win_length)
-    frames = y[idx] * window
+    frames = None
+    try:
+        from vits_tpu import native
+        frames = native.frame_signal(y, window, n_fft, hop_length)
+    except Exception:
+        frames = None
+    if frames is None:
+        pad = (n_fft - hop_length) // 2
+        yp = np.pad(y, (pad, pad), mode="reflect")
+        n_frames = (len(yp) - n_fft) // hop_length + 1
+        idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+        frames = yp[idx] * window
     spec = np.fft.rfft(frames, axis=-1)
     return np.sqrt(spec.real.astype(np.float32) ** 2 + spec.imag.astype(np.float32) ** 2 + 1e-6)
