@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Training-step benchmark (BASELINE config 3): full GAN step on 1 chip —
+MAS + flows + HiFi-GAN adversarial + mel loss on the base config.
+
+Prints one JSON line: step time, steps/s, and audio-seconds/s of training
+throughput. Not invoked by the driver (bench.py is); used for perf tracking.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from vits_tpu.config import get_hparams_from_file, default_config_path
+    from vits_tpu.train.loop import build_models, build_optimizers, init_state
+    from vits_tpu.train.step import TrainStepConfig, make_train_step
+
+    hps = get_hparams_from_file(default_config_path("base"))
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spec_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    text_len = 96
+
+    hps.adapt = False
+    hps.use_dur_dis = False
+    synth, disc, _ = build_models(hps, "mel", False)
+    gen_opt, disc_opt, _ = build_optimizers(hps, "mel", False)
+    state = init_state(hps, synth, disc, None, gen_opt, disc_opt, None)
+    cfg = TrainStepConfig.from_hps(hps, variant="mel")
+    step = jax.jit(make_train_step(synth, disc, cfg, gen_opt, disc_opt),
+                   donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    F = hps.data.filter_length // 2 + 1
+    hop = hps.data.hop_length
+    batch = {
+        "x": jnp.asarray(rng.randn(batch_size, text_len, hps.data.text_channels).astype(np.float32)),
+        "x_lengths": jnp.asarray([text_len - (i % 7) for i in range(batch_size)], jnp.int32),
+        "spec": jnp.asarray(np.abs(rng.randn(batch_size, spec_frames, F)).astype(np.float32)),
+        "spec_lengths": jnp.asarray([spec_frames - 13 * (i % 4) for i in range(batch_size)], jnp.int32),
+        "wav": jnp.asarray(rng.uniform(-0.5, 0.5, (batch_size, spec_frames * hop)).astype(np.float32)),
+        "emo": jnp.asarray(rng.randn(batch_size, 1024).astype(np.float32)),
+        "sid": jnp.asarray(rng.randint(0, hps.data.n_speakers, batch_size), jnp.int32),
+    }
+
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01)
+    jax.device_get(metrics["loss_g_total"])
+    compile_s = time.time() - t0
+
+    iters = 5
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1), 2e-4, 2e-4, 0.01)
+    loss = float(jax.device_get(metrics["loss_g_total"]))
+    dt = (time.time() - t0) / iters
+    audio_sec = float(np.sum(np.asarray(batch["spec_lengths"]))) * hop / hps.data.sampling_rate
+
+    print(json.dumps({
+        "metric": "train_audio_sec_per_s_per_chip",
+        "value": round(audio_sec / dt, 2),
+        "unit": "audio_sec/s",
+        "step_time_s": round(dt, 4),
+        "steps_per_s": round(1.0 / dt, 3),
+        "batch": batch_size,
+        "spec_frames": spec_frames,
+        "compile_s": round(compile_s, 1),
+        "loss_g_total": round(loss, 3),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,10 +54,10 @@ class MultiHeadAttention:
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)  # fp32 for stability
         if train and self.p_dropout > 0 and rng is not None:
             probs = drop_fn(rng, probs, self.p_dropout, deterministic=False)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T_t, ch)
+        out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v).reshape(B, T_t, ch)
         return Conv1d(ch, self.out_channels, 1).apply(p["conv_o"], out)
 
     __call__ = apply

@@ -123,3 +123,102 @@ def load_torch_checkpoint(path: str, target_params: Dict[str, Any], **kw) -> Dic
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model", ckpt)
     return load_torch_state_dict(state, target_params, **kw)
+
+
+# ---------------------------------------------------------------------------
+# reverse bridge: our pytree -> reference-layout torch state_dict
+# ---------------------------------------------------------------------------
+
+def _unconvert(key: str, arr: np.ndarray, torch_leaf: str) -> np.ndarray:
+    if torch_leaf == "weight_g":
+        # standard: (out,) -> (out,1,...); ConvTranspose: (1,in,1) -> (in,1,1)
+        if ".ups." in key:
+            return arr.reshape(-1, 1, 1)
+        if arr.ndim == 1:
+            return arr.reshape(-1, 1, 1) if ".cond_layer" not in key and _is_conv_g(key) else arr.reshape(-1, 1)
+        return arr
+    if arr.ndim <= 1:
+        return arr
+    if arr.ndim == 2:
+        return arr.transpose(1, 0)
+    if arr.ndim == 3:
+        if ".ups." in key:
+            return arr.transpose(1, 2, 0)  # (k,in,out)->(in,out,k)
+        return arr.transpose(2, 1, 0)      # (k,in,out)->(out,in,k)
+    if arr.ndim == 4:
+        return arr.transpose(3, 2, 0, 1)   # (kh,kw,in,out)->(out,in,kh,kw)
+    raise ValueError(f"cannot unconvert {key} with shape {arr.shape}")
+
+
+def _is_conv_g(key: str) -> bool:
+    """Heuristic only used for weight_g reshaping of non-ups layers; resolved
+    properly by export_torch_state_dict via the sibling v's ndim."""
+    return True
+
+
+def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten our pytree into a reference-layout torch state_dict (numpy
+    values; wrap with torch.as_tensor for torch.save). Inverse of
+    load_torch_state_dict up to spectral-norm v buffers."""
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, prefix):
+        if not isinstance(node, Mapping):
+            key = prefix
+            out[key] = np.asarray(node)
+            return
+        leafs = {k: v for k, v in node.items() if not isinstance(v, Mapping)}
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                rec(v, f"{prefix}.{k}" if prefix else k)
+        for k, v in leafs.items():
+            arr = np.asarray(v)
+            if k == "w":
+                name = "weight"
+            elif k == "b":
+                name = "bias"
+            elif k == "v":
+                name = "weight_v"
+            elif k == "g":
+                name = "weight_g"
+            elif k == "embedding":
+                name = "weight"
+            elif k == "w_orig":
+                name = "weight_orig"
+            elif k == "u":
+                name = "weight_u"
+            elif k in ("gamma", "beta"):
+                # nn.LayerNorm (enc_p.emb.1) uses weight/bias; modules.LayerNorm
+                # keeps gamma/beta — distinguished by the known path
+                if prefix.endswith("emb.1"):
+                    name = "weight" if k == "gamma" else "bias"
+                else:
+                    name = k
+            else:
+                name = k
+            key = f"{prefix}.{name}" if prefix else name
+            if k == "embedding":
+                out[key] = arr
+            elif k == "g":
+                sib = leafs.get("v")
+                if sib is not None and np.asarray(sib).ndim == 2:
+                    out[key] = arr.reshape(-1, 1)  # Linear weight_g (out,1)
+                elif arr.ndim == 3:  # ConvTranspose stored (1,in,1)
+                    out[key] = arr.reshape(-1, 1, 1)
+                else:
+                    out[key] = arr.reshape(-1, 1, 1)
+            elif k in ("gamma", "beta", "b", "u", "weight", "alpha", "m", "logs"):
+                out[key] = arr
+            else:
+                out[key] = _unconvert(key, arr, name)
+    rec(params, "")
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Dict[str, Any], iteration: int = 0):
+    """Write a reference-compatible {'model': state_dict, 'iteration': N}
+    .pth (export.py:148-154 shape) loadable by the PyTorch reference."""
+    import torch
+    state = {k: torch.as_tensor(np.ascontiguousarray(v))
+             for k, v in export_torch_state_dict(params).items()}
+    torch.save({"model": state, "iteration": iteration}, path)
