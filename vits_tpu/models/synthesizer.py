@@ -537,7 +537,8 @@ class Synthesizer:
         nc3 = jnp.einsum("byc,bxc->byx", z_p_, m_p_ * s_p_sq_r)
         nc4 = jnp.sum(-0.5 * jnp.square(m_p_) * s_p_sq_r, axis=-1)  # (B, T_x)
         neg_cent = nc1[:, None, :] + nc2 + nc3 + nc4[:, None, :]
-        noise_eps = jnp.std(neg_cent) * jax.random.normal(r["noise_mas"], neg_cent.shape) * align_noise
+        noise_eps = jnp.std(neg_cent) * jax.random.normal(
+            r["noise_mas"], neg_cent.shape, neg_cent.dtype) * align_noise
         neg_cent = neg_cent + noise_eps
         attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)  # (B, T_y, T_x)
         attn = sg(mas.maximum_path(neg_cent, attn_mask, impl=mas_impl))

@@ -194,7 +194,9 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
         logger.info("Total parameters of Discriminator: %d",
                     count_params(state["disc"], exclude=()))
 
-    cfg = TrainStepConfig.from_hps(hps, variant=variant, use_dur_dis=use_dur_dis)
+    compute_dtype = jnp.bfloat16 if getattr(hps.train, "bf16_run", False) else jnp.float32
+    cfg = TrainStepConfig.from_hps(hps, variant=variant, use_dur_dis=use_dur_dis,
+                                   compute_dtype=compute_dtype)
     step_fn = make_train_step(synth, disc, cfg, gen_opt, disc_opt, dur, dur_opt)
     mesh = mesh or make_mesh()
     sharded_step = make_sharded_train_step(step_fn, mesh)
