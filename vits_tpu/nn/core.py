@@ -296,6 +296,7 @@ class ConvTranspose1d:
     bias: bool = True
     weight_norm: bool = False
     init: str = "torch"
+    subpixel: bool = True  # MXU-dense phase-packed path (see apply)
 
     def init_params(self, key):
         kw, kb = jax.random.split(key)
@@ -315,6 +316,8 @@ class ConvTranspose1d:
 
     def apply(self, p, x):
         w = wn_kernel(p)  # (K, C_in, C_out)
+        if self.subpixel and self.stride > 1:
+            return self._apply_subpixel(p, x, w)
         w = jnp.flip(w, axis=0)
         edge = self.kernel_size - 1 - self.padding
         y = lax.conv_general_dilated(
@@ -322,6 +325,41 @@ class ConvTranspose1d:
             lhs_dilation=(self.stride,),
             dimension_numbers=_DN1,
         )
+        if self.bias:
+            y = y + p["b"]
+        return y
+
+    def _apply_subpixel(self, p, x, w):
+        """Phase-packed (subpixel / depth-to-space) transposed conv.
+
+        The lhs_dilation lowering multiplies (stride-1)/stride structural
+        zeros on the MXU. Instead: y[m*u + r] = Σ_j x[m-j]·w[j*u + r + pad],
+        so each output phase r is an ordinary small conv over x. Pack all u
+        phases into one dense conv with C_out·u output features and
+        depth-to-space the result — identical numerics, ~u·K/(J·u) fewer
+        MACs (J = Σ taps ≈ K/u + 1), and a plain 'WIO' conv XLA tiles
+        straight onto the MXU.
+        """
+        K, u, pad = self.kernel_size, self.stride, self.padding
+        C_in, C_out = self.in_channels, self.out_channels
+        T = x.shape[1]
+        L = (T - 1) * u - 2 * pad + K  # torch output length
+        jmin = -((u - 1 + pad) // u)  # ceil((-(u-1) - pad)/u)
+        jmax = (K - 1 - pad) // u
+        J = jmax - jmin + 1
+        M = -(-L // u)  # conv output frames needed to cover L samples
+        # Wsub[a, :, r*C_out + co] = w[(jmin + J-1-a)*u + r + pad, :, co]
+        # (flip in a baked in so a plain conv indexes x[m - j]).
+        taps = (jnp.arange(J)[::-1] + jmin)[:, None] * u + jnp.arange(u)[None, :] + pad  # (J, u)
+        valid = (taps >= 0) & (taps < K)
+        gathered = w[jnp.clip(taps, 0, K - 1)]  # (J, u, C_in, C_out)
+        gathered = jnp.where(valid[..., None, None], gathered, 0.0).astype(w.dtype)
+        wsub = jnp.transpose(gathered, (0, 2, 1, 3)).reshape(J, C_in, u * C_out)
+        pad_l = jmax
+        pad_r = M - T - jmin
+        y = lax.conv_general_dilated(
+            x, wsub, (1,), [(pad_l, pad_r)], dimension_numbers=_DN1)
+        y = y.reshape(y.shape[0], M * u, C_out)[:, :L]
         if self.bias:
             y = y + p["b"]
         return y

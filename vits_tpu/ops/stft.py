@@ -58,7 +58,7 @@ def frame_count(length: int, n_fft: int, hop: int, center: bool) -> int:
 
 
 def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
-         center: bool = True, method: str = "matmul"):
+         center: bool = True, method: str = "matmul", precision=None):
     """Short-time Fourier transform.
 
     x: (B, T) float. Returns (re, im) each (B, n_frames, F=n_fft//2+1).
@@ -77,6 +77,7 @@ def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
             x[:, :, None], kern, (hop_length,), "VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (B, T', 2F)
         return y[..., :F], y[..., F:]
     # fft reference path
@@ -88,6 +89,72 @@ def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
     window[lpad:lpad + win_length] = hann_window(win_length)
     spec = jnp.fft.rfft(frames * window, axis=-1)
     return jnp.real(spec), jnp.imag(spec)
+
+
+@functools.lru_cache(maxsize=32)
+def _idft_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed inverse real-DFT matrix, shape (2F, n_fft): frames =
+    [re, im] @ kernel reconstructs w[n]·x[n] per frame (torch.istft applies
+    the synthesis window after the iFFT)."""
+    window = np.zeros(n_fft, dtype=np.float64)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length).astype(np.float64)
+    F = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(F, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # (F, n_fft)
+    # irfft: x[n] = (1/N) Σ_k c_k (re_k cos - im_k sin), c_k = 2 except DC/Nyquist
+    c = np.full(F, 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    basis = np.concatenate([c[:, None] * np.cos(ang), -c[:, None] * np.sin(ang)], axis=0) / n_fft
+    return (basis * window[None, :]).astype(np.float32)  # (2F, n_fft)
+
+
+@functools.lru_cache(maxsize=32)
+def _ola_window_envelope(n_fft: int, hop: int, win_length: int, n_frames: int) -> np.ndarray:
+    """Σ_t w²[n - t·hop]: the overlap-add normalization torch.istft divides by."""
+    window = np.zeros(n_fft, dtype=np.float64)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length).astype(np.float64)
+    env = np.zeros((n_frames - 1) * hop + n_fft, dtype=np.float64)
+    for t in range(n_frames):
+        env[t * hop:t * hop + n_fft] += window ** 2
+    return env.astype(np.float32)
+
+
+def istft(re, im, n_fft: int, hop_length: int, win_length: Optional[int] = None,
+          center: bool = True):
+    """Inverse STFT (TorchSTFT.istft parity, modules.py:394-400).
+
+    re/im: (B, T', F) time-major (transpose of torch's (B, F, T')). Returns
+    (B, t) with t = (T'-1)·hop for center=True. TPU-first: iDFT is one matmul
+    on the MXU; overlap-add is Σ of hop-strided reshapes (no scatter).
+    """
+    if win_length is None:
+        win_length = n_fft
+    B, Tp, F = re.shape
+    kern = jnp.asarray(_idft_kernel(n_fft, win_length))
+    # HIGHEST: keep fp32 mantissa through the MXU (istft is a parity surface,
+    # not a hot path; default TPU matmul precision truncates inputs to bf16).
+    frames = jnp.dot(jnp.concatenate([re, im], axis=-1), kern.astype(re.dtype),
+                     precision=lax.Precision.HIGHEST)  # (B, T', n_fft)
+    # overlap-add: pad frame length to a multiple of hop, then each frame is
+    # m hop-chunks added at successive frame offsets — m shifted adds, no scatter.
+    m = -(-n_fft // hop_length)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, m * hop_length - n_fft)))
+    chunks = frames.reshape(B, Tp, m, hop_length)
+    total = Tp + m - 1
+    y = jnp.zeros((B, total, hop_length), frames.dtype)
+    for j in range(m):
+        y = y.at[:, j:j + Tp].add(chunks[:, :, j])
+    y = y.reshape(B, total * hop_length)[:, :(Tp - 1) * hop_length + n_fft]
+    env = jnp.asarray(_ola_window_envelope(n_fft, hop_length, win_length, Tp))
+    y = y / jnp.maximum(env, 1e-11).astype(y.dtype)
+    if center:
+        y = y[:, n_fft // 2:n_fft // 2 + (Tp - 1) * hop_length]
+    return y
 
 
 def spectrogram(y, n_fft: int, hop_length: int, win_length: int,
