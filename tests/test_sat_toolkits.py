@@ -61,6 +61,41 @@ def test_emotion_fallback_extractor(tmp_path):
     np.testing.assert_array_equal(emb, emb2)
 
 
+def test_append_spkid(tmp_path, capsys):
+    """appendspkid.pl parity: join a `utt spkid` map into an scp
+    (reference toolkits/appendspkid.pl)."""
+    from vits_tpu.toolkits.filelists import append_spkid, main
+
+    scp = ["/a/u1.vec|/a/u1.wav|/a/u1.emo", "/a/u2.vec|/a/u2.wav|/a/u2.emo",
+           "/a/unmapped.vec|/a/unmapped.wav|/a/unmapped.emo"]
+    out = append_spkid(scp, {"u1": 5, "u2": "7"})
+    # unmapped utterances are dropped, mapped ones gain a 4th field
+    assert out == ["/a/u1.vec|/a/u1.wav|/a/u1.emo|5",
+                   "/a/u2.vec|/a/u2.wav|/a/u2.emo|7"]
+
+    mapfn, scpfn = str(tmp_path / "spk.map"), str(tmp_path / "train.scp")
+    with open(mapfn, "w") as f:
+        f.write("u1 5\nu2 7\nmalformed\n")
+    with open(scpfn, "w") as f:
+        f.write("\n".join(scp) + "\n")
+    main([mapfn, scpfn])
+    assert capsys.readouterr().out.strip().splitlines() == out
+
+
+def test_plot_mels_cli(tmp_path):
+    from vits_tpu.toolkits.plot_mels import main
+
+    rng = np.random.RandomState(0)
+    fns = []
+    for i in range(2):
+        fn = str(tmp_path / f"m{i}.mel")
+        rng.randn(20, 8).astype(np.float32).tofile(fn)
+        fns.append(fn)
+    outfn = str(tmp_path / "mels.png")
+    main(["8", outfn] + fns)
+    assert os.path.getsize(outfn) > 0
+
+
 @pytest.mark.slow
 def test_sat_run_adapt(tmp_path):
     """Full voice-cloning flow on a tiny config: data prep -> adapt finetune

@@ -25,6 +25,7 @@ from vits_tpu.nn.core import (
     dropout as drop_fn,
     leaky_relu,
 )
+from vits_tpu.nn.packed import conv1d_packed, mask_packed
 
 LRELU_SLOPE = 0.1
 
@@ -171,6 +172,22 @@ class ResBlock1:
             x = _mask(xt + x, x_mask)
         return x
 
+    def apply_packed(self, p, x, g, pack, x_mask=None):
+        """Same numerics on phase-packed (B, T/pack, pack*C) input
+        (nn.packed); the per-channel gate broadcasts across phases."""
+        ic = self.inter_channels
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = conv1d_packed(self._c1(d), p["convs1"][str(i)], xt, pack)
+            gs = self._cond().apply(p["conds"][str(i)], g)
+            b, m, _ = xt.shape
+            xt = jnp.tanh(xt.reshape(b, m, pack, 2 * ic) + gs[:, None, None, :])
+            xt = xt[..., :ic].reshape(b, m, pack * ic)
+            xt = conv1d_packed(self._c2(), p["convs2"][str(i)],
+                               mask_packed(xt, x_mask, pack), pack)
+            x = mask_packed(xt + x, x_mask, pack)
+        return x
+
     __call__ = apply
 
 
@@ -222,6 +239,25 @@ class ResBlock2:
             # bias-nonzero in the pad region and conv2 has k>1)
             xt = self._c2().apply(p["convs2"][str(i)], _mask(xt, x_mask))
             x = _mask(xt + x, x_mask)
+        return x
+
+    def apply_packed(self, p, x, g, pack, x_mask=None):
+        """Same numerics on phase-packed (B, T/pack, pack*C) input
+        (nn.packed); the GLU gate is per-channel so it broadcasts across
+        phases after a free minor-dim reshape."""
+        half = self.inter_channels // 2
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = conv1d_packed(self._c1(d), p["convs1"][str(i)], xt, pack)
+            gs = self._cond().apply(p["conds"][str(i)], g)
+            b, m, _ = xt.shape
+            xt4 = xt.reshape(b, m, pack, 2 * half)
+            sa, sb = gs[:, None, None, :half], gs[:, None, None, half:]
+            xt4 = jnp.tanh(xt4[..., :half] + sa) * jax.nn.sigmoid(xt4[..., half:] + sb)
+            xt = xt4.reshape(b, m, pack * half)
+            xt = conv1d_packed(self._c2(), p["convs2"][str(i)],
+                               mask_packed(xt, x_mask, pack), pack)
+            x = mask_packed(xt + x, x_mask, pack)
         return x
 
     __call__ = apply

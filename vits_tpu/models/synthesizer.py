@@ -28,6 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from vits_tpu.nn.core import Conv1d, ConvTranspose1d, Dense, Embedding, LayerNorm, dropout as drop_fn, leaky_relu
+from vits_tpu.nn.packed import (
+    conv1d_packed,
+    conv_transpose1d_packed,
+    mask_packed,
+    repack,
+    unpack,
+)
 from vits_tpu.models import attentions
 from vits_tpu.models.modules import (
     LRELU_SLOPE,
@@ -362,26 +369,74 @@ class Generator:
                 p["resblocks"][str(idx)] = self._resblock(i, j).init_params(ks[2 + self.num_upsamples + idx])
         return p
 
-    def apply(self, p, x, g=None, x_mask=None):
+    def _pack_schedule(self):
+        """Per-stage phase packing p_i so the late small-channel stages run
+        at p_i*C_i == 128 lanes (nn.packed). p_i must divide p_{i-1}*u_i
+        (pack transitions are contiguous reshapes) and the upsample must be
+        length-preserving (k == 2*pad + u) for the packed transposed conv."""
+        packs = []
+        p_prev = 1
+        for i in range(self.num_upsamples):
+            u, k = self.upsample_rates[i], self.upsample_kernel_sizes[i]
+            c_out = self.upsample_initial_channel // (2 ** (i + 1))
+            if k != 2 * ((k - u) // 2) + u:  # packed transpose unsupported
+                packs.append(1)
+                p_prev = 1
+                continue
+            nat = p_prev * u
+            want = max(1, min(nat, 128 // c_out))
+            while nat % want:
+                want -= 1
+            packs.append(want)
+            p_prev = want
+        return tuple(packs)
+
+    def apply(self, p, x, g=None, x_mask=None, packed=True):
         """x: (B, T, initial); optional frame mask (B, T, 1) upsampled per
         stage so padded inference == exact-length inference. Returns
-        (B, T * prod(rates), 1) waveform in (-1, 1)."""
+        (B, T * prod(rates), 1) waveform in (-1, 1).
+
+        packed=True keeps small-channel stages phase-packed at 128 lanes
+        (identical numerics; see nn.packed)."""
         x = Conv1d(self.initial_channel, self.upsample_initial_channel, 7, padding=3).apply(p["conv_pre"], x)
         m = x_mask
+        packs = self._pack_schedule() if packed else (1,) * self.num_upsamples
+        p_cur = 1
         for i in range(self.num_upsamples):
             x = leaky_relu(x, LRELU_SLOPE)
-            x = self._up(i).apply(p["ups"][str(i)], _mask(x, m))
+            p_i = packs[i]
             if m is not None:
+                x = mask_packed(x, m, p_cur) if p_cur > 1 else x * m
                 m = jnp.repeat(m, self.upsample_rates[i], axis=1)
-                x = x * m
+            u, k = self.upsample_rates[i], self.upsample_kernel_sizes[i]
+            if p_cur > 1 and k != 2 * ((k - u) // 2) + u:
+                x = unpack(x, p_cur)  # transposed conv not length-preserving
+                p_cur = 1
+            if p_cur > 1 or p_i > 1:
+                x = conv_transpose1d_packed(self._up(i), p["ups"][str(i)], x, p_cur)
+                x = repack(x, p_cur * u, p_i)
+            else:
+                x = self._up(i).apply(p["ups"][str(i)], x)
+            p_cur = p_i
+            if m is not None:
+                x = mask_packed(x, m, p_cur) if p_cur > 1 else x * m
             xs = 0.0
             for j in range(self.num_kernels):
                 idx = i * self.num_kernels + j
-                xs = xs + self._resblock(i, j).apply(p["resblocks"][str(idx)], x, g, x_mask=m)
+                rb = self._resblock(i, j)
+                if p_cur > 1:
+                    xs = xs + rb.apply_packed(p["resblocks"][str(idx)], x, g, p_cur, x_mask=m)
+                else:
+                    xs = xs + rb.apply(p["resblocks"][str(idx)], x, g, x_mask=m)
             x = xs / self.num_kernels
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (models.py:315)
         ch_last = self.upsample_initial_channel // (2 ** self.num_upsamples)
-        x = Conv1d(ch_last, 1, 7, padding=3, bias=False).apply(p["conv_post"], _mask(x, m))
+        post = Conv1d(ch_last, 1, 7, padding=3, bias=False)
+        if p_cur > 1:
+            x = conv1d_packed(post, p["conv_post"], mask_packed(x, m, p_cur), p_cur)
+            x = unpack(x, p_cur)
+        else:
+            x = post.apply(p["conv_post"], _mask(x, m))
         return jnp.tanh(x)
 
     __call__ = apply
