@@ -83,12 +83,58 @@ def main():
         rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
         return aps, rtf, wav
 
+    def run_q8(dtype):
+        """int8 quantized-decoder serving mode (nn.quant): calibrate + quantize
+        once, then time p1 (float) + p2 with the int8 decoder."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
+        params = cast(params32)
+        x, emo, noise = cast(inputs32["x"]), cast(inputs32["emo"]), cast(inputs32["noise"])
+        attn = cast(attn32)
+        p1 = jax.jit(lambda p, x, e, s: synth.infer_p1(p, x, e, s))
+        m_p, s_p, logw, g = p1(params, x, emo, sid)
+        # calibration latents: the exact decoder input distribution
+        z_cal = jax.jit(lambda p, a, m, s, g, n: synth.flow.apply(
+            p["flow"], jnp.einsum("byx,bxc->byc", a, m) + n * jnp.einsum(
+                "byx,bxc->byc", a, s), None, g=g, reverse=True))(
+            params, attn, m_p, s_p, g, noise)
+        dec_q8 = synth.quantize_decoder(params, z_cal, g)
+        p2 = jax.jit(lambda p, q, a, m, s, g, n: synth.infer_p2(p, a, m, s, g, n, dec_q8=q))
+        ck = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32)))
+        wav = np.asarray(p2(params, dec_q8, attn, m_p, s_p, g, noise), np.float32)
+        jax.device_get(ck(p2(params, dec_q8, attn, m_p, s_p, g, noise)))
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            m_p, s_p, logw, g = p1(params, x, emo, sid)
+            wav_d = p2(params, dec_q8, attn, m_p, s_p, g, noise)
+        jax.device_get(ck(wav_d))
+        dt = (time.time() - t0) / iters
+        aps = B * T_y * hop / sr / dt
+
+        x1, emo1, noise1, attn1 = x[:1], emo[:1], noise[:1], attn[:1]
+        m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+        jax.device_get(ck(p2(params, dec_q8, attn1, m_p, s_p, g, noise1)))
+        t0 = time.time()
+        for _ in range(iters):
+            m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+            wav1 = p2(params, dec_q8, attn1, m_p, s_p, g, noise1)
+        jax.device_get(ck(wav1))
+        rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
+        return aps, rtf, wav
+
     aps32, rtf32, wav32 = run_variant(jnp.float32)
     apsbf, rtfbf, wavbf = run_variant(jnp.bfloat16)
-    # sanity: bf16 waveform stays correlated with fp32 (parity guard)
+    apsq8, rtfq8, wavq8 = run_q8(jnp.bfloat16)
+    # parity guards: reduced-precision waveforms must stay correlated w/ fp32
     corr = float(np.corrcoef(wav32.ravel(), wavbf.ravel())[0, 1])
-    use_bf16 = np.isfinite(corr) and corr > 0.98
-    aps, rtf = (apsbf, rtfbf) if use_bf16 and apsbf > aps32 else (aps32, rtf32)
+    corr_q8 = float(np.corrcoef(wav32.ravel(), wavq8.ravel())[0, 1])
+    candidates = [(aps32, rtf32, "fp32")]
+    if np.isfinite(corr) and corr > 0.98:
+        candidates.append((apsbf, rtfbf, "bf16"))
+    if np.isfinite(corr_q8) and corr_q8 > 0.98:
+        candidates.append((apsq8, rtfq8, "int8"))
+    aps, rtf, mode = max(candidates)
 
     print(json.dumps({
         "metric": "synthesized_audio_sec_per_s_per_chip",
@@ -96,9 +142,12 @@ def main():
         "unit": "audio_sec/s",
         "vs_baseline": round(aps / 1.0, 2),
         "batch1_rtf": round(rtf, 5),
+        "mode": mode,
         "fp32_audio_sec_per_s": round(aps32, 2),
         "bf16_audio_sec_per_s": round(apsbf, 2),
+        "int8_audio_sec_per_s": round(apsq8, 2),
         "bf16_fp32_corr": round(corr, 5),
+        "int8_fp32_corr": round(corr_q8, 5),
         "batch": B,
         "frames": T_y,
         "backend": jax.default_backend(),

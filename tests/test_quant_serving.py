@@ -1,0 +1,62 @@
+"""Quantized serving mode: EmoVITS(quantize=True) produces waveforms close to
+the float engine, with lazy first-request calibration."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vits_tpu.models.synthesizer import Synthesizer
+from vits_tpu.utils import checkpoint as ckpt
+
+from tests.test_infer_wrap import TINY_JSON
+
+
+@pytest.fixture(scope="module")
+def deploy_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("deploy_q8")
+    with open(d / "config.json", "w") as f:
+        json.dump(TINY_JSON, f)
+    from vits_tpu.config import get_hparams_from_file
+    hps = get_hparams_from_file(str(d / "config.json"))
+    synth = Synthesizer.from_hps(hps)
+    params = synth.init_params(jax.random.PRNGKey(7))
+    ckpt.save_checkpoint(str(d / "checkpoint.npz"), {"model": jax.device_get(params)})
+    return str(d)
+
+
+def test_emovits_quantized_close_to_float(deploy_dir):
+    from vits_tpu.infer import EmoVITS
+    ref_model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"))
+    q_model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"), quantize=True)
+    assert q_model.dec_q8 is None  # lazy until the first request
+
+    rng = np.random.RandomState(0)
+    text = rng.randn(19, 16).astype(np.float32)
+    emo = np.zeros(1024, np.float32)
+    np.random.seed(0)  # both engines draw the same noise-ring slice
+    wav_ref, _ = ref_model.infer(1, text, emo)
+    np.random.seed(0)
+    wav_q, _ = q_model.infer(1, text, emo)
+    assert q_model.dec_q8 is not None
+    assert wav_q.shape == wav_ref.shape
+    c = float(np.corrcoef(wav_ref, wav_q)[0, 1])
+    assert c > 0.98, c
+
+    # second request reuses the calibration (different text length bucket ok)
+    text2 = rng.randn(7, 16).astype(np.float32)
+    wav2, _ = q_model.infer(1, text2, emo)
+    assert np.all(np.isfinite(wav2))
+
+
+def test_emovits_quantize_env_flag(deploy_dir, monkeypatch):
+    from vits_tpu.infer import EmoVITS
+    monkeypatch.setenv("VITS_TPU_QUANTIZE", "1")
+    model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"))
+    assert model.quantize
+    monkeypatch.setenv("VITS_TPU_QUANTIZE", "0")
+    model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"))
+    assert not model.quantize

@@ -48,8 +48,16 @@ class EmoVITS:
 
     def __init__(self, checkpoint_path: Optional[str] = None, *, loglv: int = 0,
                  text_quantum: int = 32, frame_quantum: int = 64,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=None, quantize: Optional[bool] = None):
         self.loglv = loglv
+        # serving-mode knobs, env-overridable so the serving stack can opt in
+        # without config plumbing: VITS_TPU_DTYPE=fp32|bf16, VITS_TPU_QUANTIZE=1
+        if compute_dtype is None:
+            compute_dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
+                os.environ.get("VITS_TPU_DTYPE", "fp32")]
+        if quantize is None:
+            quantize = os.environ.get("VITS_TPU_QUANTIZE", "0") not in ("0", "", "false")
+        self.quantize = bool(quantize)
         if checkpoint_path is None:
             checkpoint_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                            "..", "checkpoint", "checkpoint.npz")
@@ -101,6 +109,11 @@ class EmoVITS:
 
         self._p1 = jax.jit(self._infer_p1_impl)
         self._p2 = jax.jit(self._infer_p2_impl)
+        self._p2q = jax.jit(self._infer_p2_q8_impl)
+        self._latent = jax.jit(self._latent_impl)
+        # int8 decoder (nn.quant): calibrated lazily on the first request's
+        # latents (the serving distribution), then reused for every request
+        self.dec_q8 = None
         self.inference = self.infer
 
     # ---------------- resource management (infer.py:77-133) ----------------
@@ -164,6 +177,20 @@ class EmoVITS:
     def _infer_p2_impl(self, params, attn, m_p, s_p, g, noise, y_mask):
         return self.synth.infer_p2(params, attn, m_p, s_p, g, noise, y_mask=y_mask)
 
+    def _infer_p2_q8_impl(self, params, dec_q8, attn, m_p, s_p, g, noise, y_mask):
+        return self.synth.infer_p2(params, attn, m_p, s_p, g, noise, y_mask=y_mask,
+                                   dec_q8=dec_q8)
+
+    def _latent_impl(self, params, attn, m_p, s_p, g, noise, y_mask):
+        """Decoder input z (infer_p2 minus the decode) — for calibration."""
+        attn = attn.astype(m_p.dtype)
+        ym = y_mask.astype(m_p.dtype)
+        m_e = jnp.einsum("byx,bxc->byc", attn, m_p)
+        s_e = jnp.einsum("byx,bxc->byc", attn, s_p)
+        z_p = m_e + noise.astype(m_p.dtype) * s_e
+        z = self.synth.flow.apply(params["flow"], z_p, ym, g=g, reverse=True)
+        return z * ym
+
     @staticmethod
     def _quantize(n, q, cap=None):
         m = ((n + q - 1) // q) * q
@@ -209,8 +236,15 @@ class EmoVITS:
         y_mask = np.zeros((1, y_pad, 1), np.float32)
         y_mask[0, :y_length] = 1.0
 
-        wav = self._p2(self.params, jnp.asarray(attn), m_p, s_p, g,
-                       jnp.asarray(noise), jnp.asarray(y_mask))
+        attn_j, noise_j, y_mask_j = jnp.asarray(attn), jnp.asarray(noise), jnp.asarray(y_mask)
+        if self.quantize:
+            if self.dec_q8 is None:
+                z_cal = self._latent(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
+                self.dec_q8 = self.synth.quantize_decoder(self.params, z_cal, g)
+            wav = self._p2q(self.params, self.dec_q8, attn_j, m_p, s_p, g,
+                            noise_j, y_mask_j)
+        else:
+            wav = self._p2(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
         wav = np.asarray(wav, np.float32)[0, :y_length * self.hop_size, 0]
         return wav, emo_vec
 
@@ -230,11 +264,17 @@ def main(argv=None):
     parser.add_argument("--outdir", type=str, required=True)
     parser.add_argument("--checkpoint", "--ckpt", default=None, type=str)
     parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("--dtype", choices=("fp32", "bf16"), default=None,
+                        help="compute dtype (default: VITS_TPU_DTYPE or fp32)")
+    parser.add_argument("--quantize", action="store_true", default=None,
+                        help="int8 decoder serving mode (nn.quant)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARN)
     os.makedirs(args.outdir, exist_ok=True)
-    model = EmoVITS(args.checkpoint, loglv=args.verbose)
+    dtype = {None: None, "fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    model = EmoVITS(args.checkpoint, loglv=args.verbose, compute_dtype=dtype,
+                    quantize=args.quantize)
 
     features = {}
     with open(args.scpfn) as fid:

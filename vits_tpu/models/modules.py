@@ -26,6 +26,7 @@ from vits_tpu.nn.core import (
     leaky_relu,
 )
 from vits_tpu.nn.packed import conv1d_packed, mask_packed
+from vits_tpu.nn import quant as Q
 
 LRELU_SLOPE = 0.1
 
@@ -156,7 +157,8 @@ class ResBlock1:
             "conds": {str(i): self._cond().init_params(keys[2 * n + i]) for i in range(n)},
         }
 
-    def apply(self, p, x, g, x_mask=None):
+    def apply(self, p, x, g, x_mask=None, record=None, rec_prefix=""):
+        del record, rec_prefix  # int8 quantization implemented for ResBlock2
         ic = self.inter_channels
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
@@ -172,9 +174,10 @@ class ResBlock1:
             x = _mask(xt + x, x_mask)
         return x
 
-    def apply_packed(self, p, x, g, pack, x_mask=None):
+    def apply_packed(self, p, x, g, pack, x_mask=None, record=None, rec_prefix=""):
         """Same numerics on phase-packed (B, T/pack, pack*C) input
         (nn.packed); the per-channel gate broadcasts across phases."""
+        del record, rec_prefix  # int8 quantization implemented for ResBlock2
         ic = self.inter_channels
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
@@ -226,10 +229,12 @@ class ResBlock2:
             "conds": {str(i): self._cond().init_params(keys[2 * n + i]) for i in range(n)},
         }
 
-    def apply(self, p, x, g, x_mask=None):
+    def apply(self, p, x, g, x_mask=None, record=None, rec_prefix=""):
         half = self.inter_channels // 2
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
+            if record is not None:
+                record[f"{rec_prefix}c1_{i}"] = Q.amax(xt)
             xt = self._c1(d).apply(p["convs1"][str(i)], xt)
             gs = self._cond().apply(p["conds"][str(i)], g)
             xa, xb = xt[..., :half], xt[..., half:]
@@ -237,26 +242,79 @@ class ResBlock2:
             xt = jnp.tanh(xa + sa) * jax.nn.sigmoid(xb + sb)
             # conv2 input masked so padded == exact-length decode (the gate is
             # bias-nonzero in the pad region and conv2 has k>1)
-            xt = self._c2().apply(p["convs2"][str(i)], _mask(xt, x_mask))
+            xt = _mask(xt, x_mask)
+            if record is not None:
+                record[f"{rec_prefix}c2_{i}"] = Q.amax(xt)
+            xt = self._c2().apply(p["convs2"][str(i)], xt)
             x = _mask(xt + x, x_mask)
         return x
 
-    def apply_packed(self, p, x, g, pack, x_mask=None):
+    def apply_packed(self, p, x, g, pack, x_mask=None, record=None, rec_prefix=""):
         """Same numerics on phase-packed (B, T/pack, pack*C) input
         (nn.packed); the GLU gate is per-channel so it broadcasts across
         phases after a free minor-dim reshape."""
         half = self.inter_channels // 2
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
+            if record is not None:
+                record[f"{rec_prefix}c1_{i}"] = Q.amax(xt)
             xt = conv1d_packed(self._c1(d), p["convs1"][str(i)], xt, pack)
             gs = self._cond().apply(p["conds"][str(i)], g)
             b, m, _ = xt.shape
             xt4 = xt.reshape(b, m, pack, 2 * half)
             sa, sb = gs[:, None, None, :half], gs[:, None, None, half:]
             xt4 = jnp.tanh(xt4[..., :half] + sa) * jax.nn.sigmoid(xt4[..., half:] + sb)
-            xt = xt4.reshape(b, m, pack * half)
-            xt = conv1d_packed(self._c2(), p["convs2"][str(i)],
-                               mask_packed(xt, x_mask, pack), pack)
+            xt = mask_packed(xt4.reshape(b, m, pack * half), x_mask, pack)
+            if record is not None:
+                record[f"{rec_prefix}c2_{i}"] = Q.amax(xt)
+            xt = conv1d_packed(self._c2(), p["convs2"][str(i)], xt, pack)
+            x = mask_packed(xt + x, x_mask, pack)
+        return x
+
+    def quantize_params(self, p, scales, pack, prefix=""):
+        """Post-training int8 quantization (nn.quant) of this block's convs,
+        pre-packed at the stage's phase-pack factor. scales: the max-abs dict
+        from a calibration run (apply/apply_packed with record=...).
+        Conditioning Denses stay in the float path."""
+        from vits_tpu.nn.core import wn_kernel
+        qp = {"conds": p["conds"]}
+        for i, d in enumerate(self.dilation):
+            for tag, layer, pp in (("c1", self._c1(d), p["convs1"][str(i)]),
+                                   ("c2", self._c2(), p["convs2"][str(i)])):
+                w8, s_w, _, _, _ = Q.pack_quantize_kernel(
+                    wn_kernel(pp), layer.kernel_size, pack, layer.dilation,
+                    layer.padding)
+                qp[f"{tag}_{i}"] = {
+                    "w8": w8, "s_w": s_w,
+                    "b": Q.tile_bias(pp.get("b"), pack),
+                    "s_in": Q.act_scale(scales[f"{prefix}{tag}_{i}"]),
+                }
+        return qp
+
+    def apply_q8(self, qp, x, g, pack=1, x_mask=None):
+        """int8 forward (serving mode): convs run s8×s8→s32 on the MXU with
+        calibrated activation scales; GLU gates and residuals stay in the
+        activation dtype. pack must match quantize_params."""
+        half = self.inter_channels // 2
+        for i, d in enumerate(self.dilation):
+            q1, q2 = qp[f"c1_{i}"], qp[f"c2_{i}"]
+            xt = leaky_relu(x, LRELU_SLOPE)
+            c1 = self._c1(d)
+            fmin, fmax, rd = Q.conv_geometry(c1.kernel_size, pack, c1.dilation, c1.padding)
+            xt = Q.conv1d_q8(Q.quantize_act(xt, q1["s_in"]), q1["w8"], fmin, fmax,
+                             q1["s_in"], q1["s_w"], q1["b"], out_dtype=x.dtype,
+                             rhs_dilation=rd)
+            gs = self._cond().apply(qp["conds"][str(i)], g)
+            b, m, _ = xt.shape
+            xt4 = xt.reshape(b, m, pack, 2 * half)
+            sa, sb = gs[:, None, None, :half], gs[:, None, None, half:]
+            xt4 = jnp.tanh(xt4[..., :half] + sa) * jax.nn.sigmoid(xt4[..., half:] + sb)
+            xt = mask_packed(xt4.reshape(b, m, pack * half), x_mask, pack)
+            c2 = self._c2()
+            fmin, fmax, rd = Q.conv_geometry(c2.kernel_size, pack, c2.dilation, c2.padding)
+            xt = Q.conv1d_q8(Q.quantize_act(xt, q2["s_in"]), q2["w8"], fmin, fmax,
+                             q2["s_in"], q2["s_w"], q2["b"], out_dtype=x.dtype,
+                             rhs_dilation=rd)
             x = mask_packed(xt + x, x_mask, pack)
         return x
 

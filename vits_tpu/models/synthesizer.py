@@ -391,13 +391,17 @@ class Generator:
             p_prev = want
         return tuple(packs)
 
-    def apply(self, p, x, g=None, x_mask=None, packed=True):
+    def apply(self, p, x, g=None, x_mask=None, packed=True, record=None, q8=False):
         """x: (B, T, initial); optional frame mask (B, T, 1) upsampled per
         stage so padded inference == exact-length inference. Returns
         (B, T * prod(rates), 1) waveform in (-1, 1).
 
         packed=True keeps small-channel stages phase-packed at 128 lanes
-        (identical numerics; see nn.packed)."""
+        (identical numerics; see nn.packed). record: a dict to collect
+        per-conv-input max-abs during a calibration pass (see calibrate).
+        q8=True runs the resblock convs in int8 (p must come from quantize)."""
+        if q8:
+            packed = True  # quantized kernels are pre-packed per the schedule
         x = Conv1d(self.initial_channel, self.upsample_initial_channel, 7, padding=3).apply(p["conv_pre"], x)
         m = x_mask
         packs = self._pack_schedule() if packed else (1,) * self.num_upsamples
@@ -424,10 +428,14 @@ class Generator:
             for j in range(self.num_kernels):
                 idx = i * self.num_kernels + j
                 rb = self._resblock(i, j)
-                if p_cur > 1:
-                    xs = xs + rb.apply_packed(p["resblocks"][str(idx)], x, g, p_cur, x_mask=m)
+                if q8:
+                    xs = xs + rb.apply_q8(p["resblocks"][str(idx)], x, g, p_cur, x_mask=m)
+                elif p_cur > 1:
+                    xs = xs + rb.apply_packed(p["resblocks"][str(idx)], x, g, p_cur,
+                                              x_mask=m, record=record, rec_prefix=f"rb{idx}_")
                 else:
-                    xs = xs + rb.apply(p["resblocks"][str(idx)], x, g, x_mask=m)
+                    xs = xs + rb.apply(p["resblocks"][str(idx)], x, g, x_mask=m,
+                                       record=record, rec_prefix=f"rb{idx}_")
             x = xs / self.num_kernels
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (models.py:315)
         ch_last = self.upsample_initial_channel // (2 ** self.num_upsamples)
@@ -438,6 +446,33 @@ class Generator:
         else:
             x = post.apply(p["conv_post"], _mask(x, m))
         return jnp.tanh(x)
+
+    def calibrate(self, p, x, g=None, x_mask=None):
+        """Run one float decode on representative inputs, recording the
+        max-abs of every resblock conv input. Returns {point: scalar array}
+        — feed to quantize(). Call eagerly (outside jit)."""
+        record = {}
+        self.apply(p, x, g=g, x_mask=x_mask, packed=True, record=record)
+        return record
+
+    def quantize(self, p, scales):
+        """Post-training int8 quantization (nn.quant): resblock conv kernels
+        → pre-packed int8 with per-channel scales; activation scales from a
+        calibrate() run. Upsample/pre/post convs stay in the float path.
+        Returns qparams for apply(..., q8=True)."""
+        if self.resblock != "2":
+            raise NotImplementedError("int8 decode implemented for ResBlock2 "
+                                      "(the shipped configs' resblock)")
+        packs = self._pack_schedule()
+        qp = {"conv_pre": p["conv_pre"], "ups": p["ups"],
+              "conv_post": p["conv_post"], "resblocks": {}}
+        for i in range(self.num_upsamples):
+            for j in range(self.num_kernels):
+                idx = i * self.num_kernels + j
+                rb = self._resblock(i, j)
+                qp["resblocks"][str(idx)] = rb.quantize_params(
+                    p["resblocks"][str(idx)], scales, packs[i], prefix=f"rb{idx}_")
+        return qp
 
     __call__ = apply
 
@@ -680,9 +715,11 @@ class Synthesizer:
             outs.append(seg[:, (s - lo) * up:(s - lo + keep) * up])
         return jnp.concatenate(outs, axis=1)
 
-    def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None):
+    def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None, dec_q8=None):
         """Phase 2 (models.py:568-575): expand prior along attn, flow-reverse,
-        decode. noise: (B, T_y, C) pre-scaled noise."""
+        decode. noise: (B, T_y, C) pre-scaled noise. dec_q8: optional int8
+        decoder params from quantize_decoder() — the opt-in quantized serving
+        mode (flow stays in the float path)."""
         attn = attn.astype(m_p.dtype)
         noise = noise.astype(m_p.dtype)
         if y_mask is not None:
@@ -691,4 +728,15 @@ class Synthesizer:
         s_p_e = jnp.einsum("byx,bxc->byc", attn, s_p)
         z_p = m_p_e + noise * s_p_e
         z = self.flow.apply(p["flow"], z_p, y_mask, g=g, reverse=True)
+        if dec_q8 is not None:
+            return self.dec.apply(dec_q8, _mask(z, y_mask), g=g, x_mask=y_mask, q8=True)
         return self.dec.apply(p["dec"], _mask(z, y_mask), g=g, x_mask=y_mask)
+
+    def quantize_decoder(self, p, z_cal, g_cal, y_mask=None):
+        """Calibrate + quantize the HiFi-GAN decoder to int8 (nn.quant) on
+        representative latents z_cal (B, T, inter) and speaker vectors g_cal.
+        Returns dec_q8 for infer_p2(..., dec_q8=...)."""
+        # jit both passes: eager execution would dispatch hundreds of tiny ops
+        scales = jax.jit(lambda pd, z, g: self.dec.calibrate(pd, z, g=g, x_mask=y_mask))(
+            p["dec"], z_cal, g_cal)
+        return jax.jit(lambda pd, s: self.dec.quantize(pd, s))(p["dec"], scales)

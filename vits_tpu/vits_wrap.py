@@ -81,9 +81,11 @@ class VITSWrap:
     default_tail_silence = 0.0  # seconds
 
     def __init__(self, ckpt_path: Optional[str] = None, *, loglv: int = 0,
-                 frontend: Optional[Callable] = None, bandwidth_ext=None):
+                 frontend: Optional[Callable] = None, bandwidth_ext=None,
+                 compute_dtype=None, quantize: Optional[bool] = None):
         self.loglv = loglv
-        self.speecher = EmoVITS(ckpt_path, loglv=loglv)
+        self.speecher = EmoVITS(ckpt_path, loglv=loglv,
+                                compute_dtype=compute_dtype, quantize=quantize)
         if frontend is None:
             try:
                 from textparser import TextParser  # external, optional
