@@ -31,7 +31,8 @@ def main():
     synth, disc, _ = build_models(hps, "mel", False)
     gen_opt, disc_opt, _ = build_optimizers(hps, "mel", False)
     state = init_state(hps, synth, disc, None, gen_opt, disc_opt, None)
-    cfg = TrainStepConfig.from_hps(hps, variant="mel")
+    compute_dtype = jnp.bfloat16 if getattr(hps.train, "bf16_run", False) else jnp.float32
+    cfg = TrainStepConfig.from_hps(hps, variant="mel", compute_dtype=compute_dtype)
     step = jax.jit(make_train_step(synth, disc, cfg, gen_opt, disc_opt),
                    donate_argnums=(0,))
 

@@ -95,3 +95,19 @@ def test_dispatcher_with_mask():
     ref = mas.maximum_path_ref(neg, t_ys, t_xs)
     got = np.asarray(mas.maximum_path(jnp.asarray(neg), jnp.asarray(mask), impl="scan"))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_maximum_path_preserves_dtype_bf16():
+    """bf16 training graphs must get a bf16 path back (the Pallas kernel
+    computes in f32 internally; a f32 leak would promote every downstream
+    einsum in Synthesizer.forward to f32)."""
+    rng = np.random.RandomState(3)
+    neg = jnp.asarray(rng.randn(2, 12, 6), jnp.bfloat16)
+    mask = jnp.ones((2, 12, 6), jnp.bfloat16)
+    for impl in ("scan",):
+        out = mas.maximum_path(neg, mask, impl=impl)
+        assert out.dtype == jnp.bfloat16, impl
+    out = mas.maximum_path_pallas(
+        neg, jnp.asarray([12, 12], jnp.int32), jnp.asarray([6, 6], jnp.int32),
+        interpret=True).astype(neg.dtype)
+    assert out.dtype == jnp.bfloat16

@@ -203,5 +203,7 @@ def maximum_path(neg_cent, mask, impl: str = "auto"):
         except Exception:
             impl = "scan"
     if impl == "pallas":
-        return maximum_path_pallas(neg_cent, t_ys, t_xs)
+        # kernel computes/emits f32; keep the caller's dtype contract (the
+        # 0/1 path is exact in bf16) so bf16 training graphs stay bf16
+        return maximum_path_pallas(neg_cent, t_ys, t_xs).astype(neg_cent.dtype)
     return maximum_path_scan(neg_cent, t_ys, t_xs)
