@@ -54,7 +54,7 @@ def main():
     jax.device_get(metrics["loss_g_total"])
     compile_s = time.time() - t0
 
-    iters = 5
+    iters = 20
     t0 = time.time()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 1), 2e-4, 2e-4, 0.01)

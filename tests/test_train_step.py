@@ -80,6 +80,30 @@ def _finite_tree(t):
                if jnp.issubdtype(l.dtype, jnp.floating))
 
 
+def test_train_step_signature_stable():
+    """The output state's avals (incl. weak_type) must match the input state's,
+    or every real training run pays a second full XLA compile on step 2
+    (observed as ~150 s on the TPU relay for the base config)."""
+    step, state = build("mel")
+    jstep = jax.jit(step)
+    s1, _ = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.01)
+    _ = jstep(s1, make_batch(seed=2), jax.random.PRNGKey(2), 2e-4, 2e-4, 0.01)
+
+    def aval(a):
+        return (jnp.shape(a), str(jnp.result_type(a)),
+                bool(getattr(a, "weak_type", False)))
+    a0 = jax.tree_util.tree_map(aval, state)
+    a1 = jax.tree_util.tree_map(aval, s1)
+    mismatches = [
+        (jax.tree_util.keystr(k), v0, v1)
+        for (k, v0), (_, v1) in zip(jax.tree_util.tree_leaves_with_path(a0),
+                                    jax.tree_util.tree_leaves_with_path(a1))
+        if v0 != v1
+    ]
+    assert not mismatches, mismatches
+    assert jstep._cache_size() == 1, "train step retraced between steps"
+
+
 @pytest.mark.parametrize("variant", ["mel", "stft"])
 def test_train_step_runs_and_updates(variant):
     step, state = build(variant)

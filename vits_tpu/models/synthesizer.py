@@ -199,7 +199,9 @@ class TextEncoder:
             "emb": {"0": Dense(self.in_channels, h).init_params(ks[0]),
                     "1": LayerNorm(h).init_params(ks[1])},
             "emo_proj": Dense(1024, h, init="xavier").init_params(ks[2]),
-            "alpha": jnp.array(1.0),
+            # Strong-typed f32: a weak-typed scalar would change the jit
+            # signature after the first optimizer update (→ full recompile).
+            "alpha": jnp.array(1.0, dtype=jnp.float32),
             "encoder": self._encoder().init_params(ks[3]),
             "proj": Conv1d(h, self.out_channels * 2, 1, init="xavier").init_params(ks[4]),
         }
