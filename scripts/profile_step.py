@@ -85,7 +85,11 @@ def main():
         y, vjp_fn = jax.vjp(fwd, gp)
         (g,) = vjp_fn(jnp.ones_like(y))
         return jnp.sum(y.astype(jnp.float32)), g
-    f2 = jax.jit(lambda gp: fwd_bwd(gp)[0])
+    def _fwd_bwd_sum(gp):
+        y, g = fwd_bwd(gp)
+        return y + sum(l.astype(jnp.float32).sum()
+                       for l in jax.tree_util.tree_leaves(g)[:4])
+    f2 = jax.jit(_fwd_bwd_sum)
     res["fwd_vjp_ms"] = round(timed(f2, state["gen"]) * 1e3, 2)
     print(json.dumps(res), flush=True)
 
@@ -96,7 +100,8 @@ def main():
             loss, _, _ = L.discriminator_loss(y_d_r, y_d_g)
             return loss
         loss, g = jax.value_and_grad(d_loss_fn)(dp)
-        return loss
+        return loss + sum(l.astype(jnp.float32).sum()
+                          for l in jax.tree_util.tree_leaves(g)[:4])
     f3 = jax.jit(d_step)
     res["d_grad_ms"] = round(timed(f3, state["disc"]) * 1e3, 2)
     print(json.dumps(res), flush=True)
