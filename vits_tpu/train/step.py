@@ -108,9 +108,16 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         rng_fwd, rng_step = jax.random.split(rng)
         cd = cfg.compute_dtype
 
+        def cast_p(tree):
+            # mixed-precision param cast (the reference runs D under fp16
+            # autocast, train.py:202-206); grads flow back to fp32 masters
+            if cd == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, tree)
+
         def fwd(gen_params):
-            gp = jax.tree_util.tree_map(lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, gen_params) \
-                if cd != jnp.float32 else gen_params
+            gp = cast_p(gen_params)
             out = synth.forward(
                 gp, rng_fwd,
                 batch["x"].astype(cd), batch["x_lengths"],
@@ -129,18 +136,26 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         # ---------------- D step (train.py:204-214) ----------------
+        # D runs in the compute dtype like the reference's fp16 autocast;
+        # losses cast to f32 internally, grads land on the f32 master params.
+        y_slice_c = y_slice.astype(cd)
+        y_hat_sg_c = y_hat_sg.astype(cd)
         if cfg.variant == "mel":
             def d_loss_fn(dp):
-                y_d_r, y_d_g, _, _ = disc.apply(dp, y_slice, y_hat_sg)
+                y_d_r, y_d_g, _, _ = disc.apply(cast_p(dp), y_slice_c, y_hat_sg_c)
                 loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
                 return loss_disc, (r_losses, g_losses)
         else:
-            mags_real = [L.stft_magnitude(y_slice[..., 0], *res) for res in cfg.resolutions]
+            # STFT magnitudes stay f32 (loss numerics); disc consumes them in cd
+            mags_real = [L.stft_magnitude(y_slice[..., 0], *res).astype(cd)
+                         for res in cfg.resolutions]
 
             def d_loss_fn(dp):
-                mags_fake = [L.stft_magnitude(y_hat_sg[..., 0], *res) for res in cfg.resolutions]
-                y_d_r = disc.apply(dp, y_slice, mags_real)
-                y_d_g = disc.apply(dp, y_hat_sg, mags_fake)
+                mags_fake = [L.stft_magnitude(y_hat_sg[..., 0], *res).astype(cd)
+                             for res in cfg.resolutions]
+                dpc = cast_p(dp)
+                y_d_r = disc.apply(dpc, y_slice_c, mags_real)
+                y_d_g = disc.apply(dpc, y_hat_sg_c, mags_fake)
                 loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
                 return loss_disc, (r_losses, g_losses)
 
@@ -187,7 +202,8 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 y_mel = slice_segments(mel_full, ids, cfg.segment_frames)
                 y_hat_mel = mel_of(y_hat_g[..., 0])
                 loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.c_mel
-                y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(new_disc, y_slice, y_hat_g)
+                y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(
+                    cast_p(new_disc), y_slice_c, y_hat_g.astype(cd))
                 loss_fm = L.feature_loss(fmap_r, fmap_g)
                 loss_gen, gen_losses = L.generator_loss(y_d_g)
                 loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl + loss_kl_q
@@ -196,7 +212,8 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 sc_loss, mag_loss, _, mags_fake = L.multi_resolution_stft_loss(
                     y_slice[..., 0], y_hat_g[..., 0], resolutions=cfg.resolutions)
                 loss_stft = (sc_loss + mag_loss) * cfg.c_stft
-                y_d_g = disc.apply(new_disc, y_hat_g, mags_fake)
+                y_d_g = disc.apply(cast_p(new_disc), y_hat_g.astype(cd),
+                                   [m.astype(cd) for m in mags_fake])
                 loss_gen, gen_losses = L.generator_loss(y_d_g)
                 loss_all = loss_gen + loss_stft + loss_dur + loss_kl + loss_kl_q
                 metrics.update({"loss_stft": loss_stft})
