@@ -24,15 +24,16 @@ def main():
     hps = get_hparams_from_file(default_config_path("base"))
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spec_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    variant = sys.argv[3] if len(sys.argv) > 3 else "mel"  # mel (train.py) | stft (train_stft.py)
     text_len = 96
 
     hps.adapt = False
     hps.use_dur_dis = False
-    synth, disc, _ = build_models(hps, "mel", False)
-    gen_opt, disc_opt, _ = build_optimizers(hps, "mel", False)
+    synth, disc, _ = build_models(hps, variant, False)
+    gen_opt, disc_opt, _ = build_optimizers(hps, variant, False)
     state = init_state(hps, synth, disc, None, gen_opt, disc_opt, None)
     compute_dtype = jnp.bfloat16 if getattr(hps.train, "bf16_run", False) else jnp.float32
-    cfg = TrainStepConfig.from_hps(hps, variant="mel", compute_dtype=compute_dtype)
+    cfg = TrainStepConfig.from_hps(hps, variant=variant, compute_dtype=compute_dtype)
     step = jax.jit(make_train_step(synth, disc, cfg, gen_opt, disc_opt),
                    donate_argnums=(0,))
 
@@ -63,7 +64,7 @@ def main():
     audio_sec = float(np.sum(np.asarray(batch["spec_lengths"]))) * hop / hps.data.sampling_rate
 
     print(json.dumps({
-        "metric": "train_audio_sec_per_s_per_chip",
+        "metric": f"train_{variant}_audio_sec_per_s_per_chip",
         "value": round(audio_sec / dt, 2),
         "unit": "audio_sec/s",
         "step_time_s": round(dt, 4),
