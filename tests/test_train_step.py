@@ -38,12 +38,12 @@ def make_batch(B=2, T_x=11, T_y=24, seed=0):
     }
 
 
-def build(variant="mel", use_dur_dis=False):
+def build(variant="mel", use_dur_dis=False, compute_dtype=jnp.float32):
     synth = Synthesizer(**TINY)
     cfg = TrainStepConfig(
         variant=variant, segment_frames=TINY["segment_size"], hop_length=HOP,
         filter_length=64, win_length=64, n_mel_channels=20, sampling_rate=1600,
-        use_dur_dis=use_dur_dis, mas_impl="scan",
+        use_dur_dis=use_dur_dis, mas_impl="scan", compute_dtype=compute_dtype,
         resolutions=((64, 16, 64), (32, 8, 32)),
     )
     if variant == "mel":
@@ -84,10 +84,12 @@ def test_train_step_signature_stable():
     """The output state's avals (incl. weak_type) must match the input state's,
     or every real training run pays a second full XLA compile on step 2
     (observed as ~150 s on the TPU relay for the base config)."""
-    step, state = build("mel")
+    step, state = build("mel", compute_dtype=jnp.bfloat16)
     jstep = jax.jit(step)
-    s1, _ = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.01)
+    s1, m1 = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.01)
     _ = jstep(s1, make_batch(seed=2), jax.random.PRNGKey(2), 2e-4, 2e-4, 0.01)
+    for k, v in m1.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite (bf16 step)"
 
     def aval(a):
         return (jnp.shape(a), str(jnp.result_type(a)),
