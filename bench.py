@@ -134,7 +134,7 @@ def main():
         candidates.append((apsbf, rtfbf, "bf16"))
     if np.isfinite(corr_q8) and corr_q8 > 0.98:
         candidates.append((apsq8, rtfq8, "int8"))
-    aps, rtf, mode = max(candidates)
+    aps, rtf, mode = max(candidates, key=lambda c: c[0])
 
     print(json.dumps({
         "metric": "synthesized_audio_sec_per_s_per_chip",

@@ -28,17 +28,25 @@ def deploy_dir(tmp_path_factory):
     return str(d)
 
 
-def test_emovits_quantized_close_to_float(deploy_dir):
+def test_emovits_quantized_close_to_float(deploy_dir, monkeypatch):
     from vits_tpu.infer import EmoVITS
+    monkeypatch.setenv("VITS_TPU_Q8_CALIB_REQUESTS", "2")
     ref_model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"))
     q_model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"), quantize=True)
-    assert q_model.dec_q8 is None  # lazy until the first request
+    assert q_model.dec_q8 is None  # lazy: calibrated over the first N requests
 
     rng = np.random.RandomState(0)
     text = rng.randn(19, 16).astype(np.float32)
     emo = np.zeros(1024, np.float32)
     np.random.seed(0)  # both engines draw the same noise-ring slice
     wav_ref, _ = ref_model.infer(1, text, emo)
+    # request 1 only observes statistics and serves the float path exactly
+    np.random.seed(0)
+    wav1, _ = q_model.infer(1, text, emo)
+    assert q_model.dec_q8 is None and q_model._q8_seen == 1
+    np.testing.assert_allclose(wav1, wav_ref, atol=1e-6)
+    # request 2 freezes the scales (running max-abs), passes the corr gate,
+    # and serves quantized
     np.random.seed(0)
     wav_q, _ = q_model.infer(1, text, emo)
     assert q_model.dec_q8 is not None
@@ -46,10 +54,25 @@ def test_emovits_quantized_close_to_float(deploy_dir):
     c = float(np.corrcoef(wav_ref, wav_q)[0, 1])
     assert c > 0.98, c
 
-    # second request reuses the calibration (different text length bucket ok)
+    # third request reuses the calibration (different text length bucket ok)
     text2 = rng.randn(7, 16).astype(np.float32)
     wav2, _ = q_model.infer(1, text2, emo)
     assert np.all(np.isfinite(wav2))
+
+
+def test_emovits_q8_gate_falls_back_to_float(deploy_dir, monkeypatch):
+    """An unreachable correlation threshold must disable the int8 path and
+    keep serving floats rather than degrade quality silently."""
+    from vits_tpu.infer import EmoVITS
+    monkeypatch.setenv("VITS_TPU_Q8_CALIB_REQUESTS", "1")
+    monkeypatch.setenv("VITS_TPU_Q8_MIN_CORR", "1.1")
+    q_model = EmoVITS(os.path.join(deploy_dir, "checkpoint.npz"), quantize=True)
+    rng = np.random.RandomState(3)
+    text = rng.randn(11, 16).astype(np.float32)
+    emo = np.zeros(1024, np.float32)
+    wav, _ = q_model.infer(1, text, emo)
+    assert q_model.dec_q8 is None and not q_model.quantize
+    assert np.all(np.isfinite(wav))
 
 
 def test_emovits_quantize_env_flag(deploy_dir, monkeypatch):

@@ -53,8 +53,13 @@ class EmoVITS:
         # serving-mode knobs, env-overridable so the serving stack can opt in
         # without config plumbing: VITS_TPU_DTYPE=fp32|bf16, VITS_TPU_QUANTIZE=1
         if compute_dtype is None:
-            compute_dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
-                os.environ.get("VITS_TPU_DTYPE", "fp32")]
+            dtype_name = os.environ.get("VITS_TPU_DTYPE", "fp32")
+            dtype_map = {"bf16": jnp.bfloat16, "fp32": jnp.float32}
+            compute_dtype = dtype_map.get(dtype_name)
+            if compute_dtype is None:
+                raise ValueError(
+                    f"VITS_TPU_DTYPE={dtype_name!r} not recognized; "
+                    f"valid values: {sorted(dtype_map)}")
         if quantize is None:
             quantize = os.environ.get("VITS_TPU_QUANTIZE", "0") not in ("0", "", "false")
         self.quantize = bool(quantize)
@@ -111,9 +116,19 @@ class EmoVITS:
         self._p2 = jax.jit(self._infer_p2_impl)
         self._p2q = jax.jit(self._infer_p2_q8_impl)
         self._latent = jax.jit(self._latent_impl)
-        # int8 decoder (nn.quant): calibrated lazily on the first request's
-        # latents (the serving distribution), then reused for every request
+        self._calib = jax.jit(self._calib_impl)
+        # int8 decoder (nn.quant): activation scales are calibrated as a
+        # running max-abs over the first `q8_calib_requests` requests (those
+        # requests are served from the float path), then frozen with a safety
+        # margin and gated on waveform correlation vs the float decode — a
+        # single-request calibration silently clips later, larger activations.
         self.dec_q8 = None
+        self._q8_record = None
+        self._q8_seen = 0
+        self.q8_calib_requests = max(1, int(os.environ.get(
+            "VITS_TPU_Q8_CALIB_REQUESTS", "8")))
+        self.q8_margin = float(os.environ.get("VITS_TPU_Q8_MARGIN", "1.1"))
+        self.q8_min_corr = float(os.environ.get("VITS_TPU_Q8_MIN_CORR", "0.995"))
         self.inference = self.infer
 
     # ---------------- resource management (infer.py:77-133) ----------------
@@ -191,6 +206,46 @@ class EmoVITS:
         z = self.synth.flow.apply(params["flow"], z_p, ym, g=g, reverse=True)
         return z * ym
 
+    def _calib_impl(self, params, z, g, y_mask):
+        """Per-request max-abs record of every quantizable conv input."""
+        return self.synth.dec.calibrate(params["dec"], z, g=g, x_mask=y_mask)
+
+    def _q8_observe(self, attn_j, m_p, s_p, g, noise_j, y_mask_j):
+        """Fold one request's activation statistics into the running record;
+        freeze + quality-gate the int8 decoder once enough requests were seen.
+        Returns True once the quantized path is ready to serve."""
+        if self.dec_q8 is not None:
+            return True
+        z_cal = self._latent(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
+        record = self._calib(self.params, z_cal, g, y_mask_j)
+        if self._q8_record is None:
+            self._q8_record = record
+        else:
+            self._q8_record = jax.tree_util.tree_map(
+                jnp.maximum, self._q8_record, record)
+        self._q8_seen += 1
+        if self._q8_seen < self.q8_calib_requests:
+            return False
+        scales = jax.tree_util.tree_map(
+            lambda a: a * self.q8_margin, self._q8_record)
+        dec_q8 = jax.jit(self.synth.dec.quantize)(self.params["dec"], scales)
+        # one-time quality gate: int8 decode must correlate with the float
+        # decode on the freezing request (the analog of bench.py's corr gate)
+        wav_f = np.asarray(self._p2(self.params, attn_j, m_p, s_p, g,
+                                    noise_j, y_mask_j), np.float32).ravel()
+        wav_q = np.asarray(self._p2q(self.params, dec_q8, attn_j, m_p, s_p, g,
+                                     noise_j, y_mask_j), np.float32).ravel()
+        denom = float(np.linalg.norm(wav_f) * np.linalg.norm(wav_q))
+        corr = float(wav_f @ wav_q) / denom if denom > 0 else 0.0
+        if corr < self.q8_min_corr:
+            logger.warning("int8 decoder failed the correlation gate "
+                           "(%.4f < %.4f) — serving stays on the float path",
+                           corr, self.q8_min_corr)
+            self.quantize = False
+            return False
+        self.dec_q8 = dec_q8
+        return True
+
     @staticmethod
     def _quantize(n, q, cap=None):
         m = ((n + q - 1) // q) * q
@@ -237,10 +292,7 @@ class EmoVITS:
         y_mask[0, :y_length] = 1.0
 
         attn_j, noise_j, y_mask_j = jnp.asarray(attn), jnp.asarray(noise), jnp.asarray(y_mask)
-        if self.quantize:
-            if self.dec_q8 is None:
-                z_cal = self._latent(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
-                self.dec_q8 = self.synth.quantize_decoder(self.params, z_cal, g)
+        if self.quantize and self._q8_observe(attn_j, m_p, s_p, g, noise_j, y_mask_j):
             wav = self._p2q(self.params, self.dec_q8, attn_j, m_p, s_p, g,
                             noise_j, y_mask_j)
         else:

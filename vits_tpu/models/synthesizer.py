@@ -452,7 +452,9 @@ class Generator:
     def calibrate(self, p, x, g=None, x_mask=None):
         """Run one float decode on representative inputs, recording the
         max-abs of every resblock conv input. Returns {point: scalar array}
-        — feed to quantize(). Call eagerly (outside jit)."""
+        — feed to quantize(). The record dict is trace-compatible;
+        quantize_decoder (and EmoVITS) jit this pass to avoid eager per-op
+        dispatch."""
         record = {}
         self.apply(p, x, g=g, x_mask=x_mask, packed=True, record=record)
         return record

@@ -73,7 +73,14 @@ def maximum_path_ref(neg_cent: np.ndarray, t_ys: np.ndarray, t_xs: np.ndarray) -
 
 @functools.partial(jax.jit, static_argnames=())
 def maximum_path_scan(neg_cent, t_ys, t_xs):
-    """neg_cent: (B, T_y, T_x) f32; t_ys/t_xs: (B,) int32 -> path f32 0/1."""
+    """neg_cent: (B, T_y, T_x); t_ys/t_xs: (B,) int32 -> 0/1 path in
+    neg_cent.dtype.
+
+    dtype contract (mirrors the Pallas kernel): the Viterbi DP accumulates in
+    float32 regardless of input dtype — long bf16 accumulations lose enough
+    mantissa to flip alignment tie-breaks vs the f32 kernel."""
+    out_dtype = neg_cent.dtype
+    neg_cent = neg_cent.astype(jnp.float32)
     B, T_y, T_x = neg_cent.shape
     xs = jnp.arange(T_x, dtype=jnp.int32)
 
@@ -104,7 +111,7 @@ def maximum_path_scan(neg_cent, t_ys, t_xs):
     def bwd(idx, inp):
         y, val_prev = inp  # val_prev = value[y-1] (B, T_x); undefined at y==0
         active = y < t_ys
-        row = (xs[None, :] == idx[:, None]).astype(neg_cent.dtype) * active[:, None].astype(neg_cent.dtype)
+        row = (xs[None, :] == idx[:, None]).astype(out_dtype) * active[:, None].astype(out_dtype)
         v_here = jnp.take_along_axis(val_prev, idx[:, None], axis=1)[:, 0]
         v_left = jnp.take_along_axis(val_prev, jnp.maximum(idx - 1, 0)[:, None], axis=1)[:, 0]
         move = active & (y > 0) & (idx != 0) & ((idx == y) | (v_here < v_left))
