@@ -51,6 +51,34 @@ def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
     return kern[:, None, :]  # (K=n_fft, I=1, O=2F)
 
 
+def _dft_kernel_traced(n_fft: int, win_length: int):
+    """In-trace construction of the windowed real-DFT conv kernel.
+
+    Emits a handful of iota/trig HLO ops instead of a multi-megabyte f32
+    constant: at base config the stft-variant train step embeds the 2048-point
+    basis (16.8 MB) several times, which bloated the lowered HLO text to
+    ~190 MB and made the remote-compile relay unusable (>25 min). With the
+    traced kernel the compiler sees ~10 ops per resolution and folds them
+    itself.
+
+    Accuracy: the phase n·k is reduced mod n_fft in int32 BEFORE the float
+    multiply (n·k reaches ~2M, far past f32's exact-integer range), so
+    cos/sin see exact angles in [0, 2π); max abs error vs the f64 host
+    kernel is ~1e-6.
+    """
+    F = n_fft // 2 + 1
+    n = jnp.arange(n_fft, dtype=jnp.int32)
+    k = jnp.arange(F, dtype=jnp.int32)
+    nk = (n[:, None] * k[None, :]) % n_fft
+    ang = nk.astype(jnp.float32) * np.float32(2.0 * np.pi / n_fft)
+    basis = jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=1)  # (n_fft, 2F)
+    i = jnp.arange(win_length, dtype=jnp.float32)
+    hann = 0.5 - 0.5 * jnp.cos(i * np.float32(2.0 * np.pi / win_length))
+    lpad = (n_fft - win_length) // 2
+    window = jnp.zeros((n_fft,), jnp.float32).at[lpad:lpad + win_length].set(hann)
+    return (window[:, None] * basis)[:, None, :]  # (K=n_fft, I=1, O=2F)
+
+
 def frame_count(length: int, n_fft: int, hop: int, center: bool) -> int:
     if center:
         return length // hop + 1
@@ -72,7 +100,12 @@ def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
         x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     F = n_fft // 2 + 1
     if method == "matmul":
-        kern = jnp.asarray(_dft_kernel(n_fft, win_length))
+        # under a trace, build the basis from iota+trig (small HLO); eagerly,
+        # use the lru-cached host constant (no per-call recompute)
+        if isinstance(x, jax.core.Tracer):
+            kern = _dft_kernel_traced(n_fft, win_length)
+        else:
+            kern = jnp.asarray(_dft_kernel(n_fft, win_length))
         y = lax.conv_general_dilated(
             x[:, :, None], kern, (hop_length,), "VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),

@@ -58,12 +58,23 @@ def make_sharded_train_step(train_step, mesh: Mesh):
     replicated, batch sharded over `data`, scalars replicated."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(
-        train_step,
-        in_shardings=(rep, bsh, rep, rep, rep, rep),
+
+    # bind the trailing lr_p default so in_shardings (which must match the
+    # number of args actually passed) always sees 7 positional args
+    def step7(state, batch, rng, lr_g, lr_d, align_noise, lr_p):
+        return train_step(state, batch, rng, lr_g, lr_d, align_noise, lr_p)
+
+    jitted = jax.jit(
+        step7,
+        in_shardings=(rep, bsh, rep, rep, rep, rep, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+    def call(state, batch, rng, lr_g, lr_d, align_noise, lr_p=1e-4):
+        return jitted(state, batch, rng, lr_g, lr_d, align_noise, lr_p)
+
+    return call
 
 
 def generator_param_specs(params, mesh: Mesh, min_channels: int = 128):

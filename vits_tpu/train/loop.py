@@ -28,7 +28,9 @@ from vits_tpu.models.synthesizer import Synthesizer, DurationDiscriminator
 from vits_tpu.models.discriminators import MultiPeriodDiscriminator
 from vits_tpu.models.mrd import MultiWaveSTFTDiscriminator
 from vits_tpu.ops.stft import mel_spectrogram, spec_to_mel
-from vits_tpu.parallel.mesh import make_mesh, make_sharded_train_step, replicate, shard_batch
+from vits_tpu.parallel.mesh import (local_batch_to_global, make_mesh,
+                                    make_sharded_train_step, replicate,
+                                    shard_batch)
 from vits_tpu.train.data import BucketSampler, Prefetcher, TextAudioSpeakerDataset, DEFAULT_BOUNDARIES
 from vits_tpu.train.optim import Optimizer, exponential_lr
 from vits_tpu.train.step import TrainStepConfig, make_train_step
@@ -116,6 +118,18 @@ def resume(hps, state, logger=None):
             state["disc_opt"] = loaded["optimizer"]
         if logger:
             logger.info("Resumed D from %s (adapt=%s)", dpath, adapt)
+    # duration-discriminator resume (reference train.py:123,129: ckptP =
+    # latest P_*.pth, loaded with optimizer unless adapt)
+    if "dur" in state:
+        ppath = ckpt.latest_checkpoint_path(model_dir, "P_*.npz")
+        if ppath and os.path.exists(ppath):
+            tmpl = {"model": state["dur"]} if adapt else {"model": state["dur"], "optimizer": state["dur_opt"]}
+            loaded, _, _ = ckpt.load_checkpoint(ppath, tmpl)
+            state["dur"] = loaded["model"]
+            if not adapt:
+                state["dur_opt"] = loaded["optimizer"]
+            if logger:
+                logger.info("Resumed P from %s (adapt=%s)", ppath, adapt)
     if adapt:
         state["step"] = jnp.zeros((), jnp.int32)
         epoch = 1
@@ -139,10 +153,17 @@ def save_all(hps, state, epoch: int):
                              step=step, epoch=epoch)
 
 
-def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng):
-    """Rank-0 single-utterance eval synthesis (train.py:289-346)."""
+def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng,
+             first: bool = False):
+    """Rank-0 single-utterance eval synthesis (train.py:289-346).
+
+    `first` additionally logs the ground-truth mel/audio (train.py:335-337's
+    global_step==0 branch). Also computes an eval mel-L1 scalar between the
+    generated and GT mels over their overlapping frames (BASELINE.json
+    metric 3; not in the reference, which only eyeballs the images).
+    Returns the mel-L1 (or None when no eval data)."""
     if len(eval_dataset) == 0:
-        return
+        return None
     item = eval_dataset[0]
     x = jnp.asarray(item["vec"])[None]
     emo = jnp.asarray(item["emo"])[None]
@@ -156,10 +177,23 @@ def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng):
                                      hps.data.n_mel_channels, hps.data.sampling_rate,
                                      hps.data.hop_length, hps.data.win_length,
                                      hps.data.mel_fmin, hps.data.mel_fmax))[0]
+    gt_mel = np.asarray(spec_to_mel(jnp.asarray(item["spec"])[None],
+                                    hps.data.filter_length, hps.data.n_mel_channels,
+                                    hps.data.sampling_rate, hps.data.mel_fmin,
+                                    hps.data.mel_fmax))[0]
+    n = min(mel.shape[0], gt_mel.shape[0])
+    mel_l1 = float(np.mean(np.abs(mel[:n] - gt_mel[:n]))) if n else float("nan")
+    images = {"gen/mel": S.plot_spectrogram_to_numpy(mel.T)}
+    audios = {"gen/audio": wav}
+    if first:
+        images["gt/mel"] = S.plot_spectrogram_to_numpy(gt_mel.T)
+        audios["gt/audio"] = np.asarray(item["wav"], np.float32)
     S.summarize(writer, global_step,
-                images={"gen/mel": S.plot_spectrogram_to_numpy(mel.T)},
-                audios={"gen/audio": wav},
+                scalars={"eval/mel_l1": mel_l1},
+                images=images,
+                audios=audios,
                 audio_sampling_rate=hps.data.sampling_rate)
+    return mel_l1
 
 
 def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
@@ -207,15 +241,24 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
     rng = jax.random.PRNGKey(t.seed + 17)
     t_last = time.time()
     audio_sec_acc = 0.0
+    first_eval = True
     for epoch in range(epoch_start, t.epochs + 1):
         lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
+        lr_p = exponential_lr(1e-4, t.lr_decay, epoch)  # train.py:100-102,148
         for batch in prefetcher.epoch(epoch):
             audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
             batch.pop("wav_lengths", None)
-            sb = shard_batch(mesh, batch)
+            # single-host: place the host-global batch sharded over `data`.
+            # multi-host: each process holds only its rank-strided shard
+            # (BucketSampler rank semantics = data_utils.py:231), so assemble
+            # a global array from per-process shards instead.
+            if jax.process_count() > 1:
+                sb = local_batch_to_global(mesh, batch)
+            else:
+                sb = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
             state, metrics = sharded_step(state, sb, sub, lr, lr,
-                                          align_noise_at(hps, global_step))
+                                          align_noise_at(hps, global_step), lr_p)
             global_step += 1
             audio_sec_acc += audio_sec
             if is_main and global_step % t.log_interval == 0:
@@ -234,7 +277,8 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
             if is_main and global_step % t.eval_interval == 0:
                 rng, sub = jax.random.split(rng)
                 evaluate(hps, synth, jax.device_get(state["gen"]), eval_dataset,
-                         writer_eval, global_step, sub)
+                         writer_eval, global_step, sub, first=first_eval)
+                first_eval = False
                 save_all(hps, jax.device_get(state), epoch)
             if max_steps is not None and global_step >= max_steps:
                 break

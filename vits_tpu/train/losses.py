@@ -76,13 +76,20 @@ def stft_magnitude(x, fft_size, hop_size, win_size):
     return jnp.sqrt(re * re + im * im + 1e-7)
 
 
+def stft_losses_from_mags(x_mag, y_mag):
+    """Spectral-convergence + log-magnitude L1 from precomputed magnitudes
+    (stft_loss.py:40-42). x_mag = groundtruth, y_mag = predicted."""
+    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+    mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+    return sc, mag
+
+
 def stft_loss_single(x, y, fft_size, hop_size, win_size):
     """Spectral-convergence + log-magnitude L1 (stft_loss.py:25-44).
     Returns (sc, mag, x_mag, y_mag)."""
     x_mag = stft_magnitude(x, fft_size, hop_size, win_size)
     y_mag = stft_magnitude(y, fft_size, hop_size, win_size)
-    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
-    mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+    sc, mag = stft_losses_from_mags(x_mag, y_mag)
     return sc, mag, x_mag, y_mag
 
 
@@ -90,17 +97,24 @@ DEFAULT_RESOLUTIONS = ((128, 32, 128), (256, 64, 256), (512, 128, 512),
                        (1024, 256, 1024), (2048, 512, 2048))
 
 
-def multi_resolution_stft_loss(x, y, resolutions=DEFAULT_RESOLUTIONS):
-    """5-resolution STFT loss (stft_loss.py:47-95). Returns
-    (sc_loss, mag_loss, xs_mag, ys_mag); the magnitude lists are shared with
-    MultiSTFTDiscriminator exactly as train_stft.py:195-199 does."""
+def multi_resolution_stft_losses(xs_mag, ys_mag):
+    """Resolution-averaged sc/mag losses from precomputed magnitude lists —
+    lets the train step compute the 5-resolution STFT ONCE and share it with
+    the MSTFT discriminator, exactly as train_stft.py:195-199 shares
+    (y_mag, y_hat_mag) across the loss, D step, and G step."""
     sc_loss, mag_loss = 0.0, 0.0
-    xs_mag, ys_mag = [], []
-    for fs, hs, ws in resolutions:
-        sc, mag, x_mag, y_mag = stft_loss_single(x, y, fs, hs, ws)
+    for x_mag, y_mag in zip(xs_mag, ys_mag):
+        sc, mag = stft_losses_from_mags(x_mag, y_mag)
         sc_loss = sc_loss + sc
         mag_loss = mag_loss + mag
-        xs_mag.append(x_mag)
-        ys_mag.append(y_mag)
-    n = float(len(resolutions))
-    return sc_loss / n, mag_loss / n, xs_mag, ys_mag
+    n = float(len(xs_mag))
+    return sc_loss / n, mag_loss / n
+
+
+def multi_resolution_stft_loss(x, y, resolutions=DEFAULT_RESOLUTIONS):
+    """5-resolution STFT loss (stft_loss.py:47-95). Returns
+    (sc_loss, mag_loss, xs_mag, ys_mag)."""
+    xs_mag = [stft_magnitude(x, *res) for res in resolutions]
+    ys_mag = [stft_magnitude(y, *res) for res in resolutions]
+    sc_loss, mag_loss = multi_resolution_stft_losses(xs_mag, ys_mag)
+    return sc_loss, mag_loss, xs_mag, ys_mag

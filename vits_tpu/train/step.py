@@ -104,7 +104,7 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                                cfg.sampling_rate, cfg.hop_length, cfg.win_length,
                                cfg.mel_fmin, cfg.mel_fmax)
 
-    def train_step(state, batch, rng, lr_g, lr_d, align_noise):
+    def train_step(state, batch, rng, lr_g, lr_d, align_noise, lr_p=1e-4):
         rng_fwd, rng_step = jax.random.split(rng)
         cd = cfg.compute_dtype
 
@@ -125,6 +125,14 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 batch["emo"].astype(cd), batch["sid"],
                 align_noise=align_noise, mas_impl=cfg.mas_impl, train=True)
             diff = {k: out[k] for k in _DIFF_KEYS}
+            if cfg.variant == "stft":
+                # the 5-resolution |STFT| of y_hat is computed ONCE here and
+                # shared by the D step (stop-grad), the sc/mag losses, and the
+                # G adversarial pass — the reference's single mstft_loss call
+                # feeding all three (train_stft.py:195-199,219-224)
+                y_hat_f = out["y_hat"].astype(jnp.float32)[..., 0]
+                diff["mags_fake"] = tuple(
+                    L.stft_magnitude(y_hat_f, *res) for res in cfg.resolutions)
             aux = {k: out[k] for k in _AUX_KEYS}
             return diff, aux
 
@@ -146,16 +154,18 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
                 return loss_disc, (r_losses, g_losses)
         else:
-            # STFT magnitudes stay f32 (loss numerics); disc consumes them in cd
-            mags_real = [L.stft_magnitude(y_slice[..., 0], *res).astype(cd)
-                         for res in cfg.resolutions]
+            # STFT magnitudes stay f32 (loss numerics); disc consumes them in
+            # cd. Real mags computed once; fake mags shared from fwd.
+            mags_real = tuple(L.stft_magnitude(y_slice[..., 0], *res)
+                              for res in cfg.resolutions)
+            mags_real_c = [m.astype(cd) for m in mags_real]
+            mags_fake_c = [m.astype(cd) for m in
+                           jax.lax.stop_gradient(diff["mags_fake"])]
 
             def d_loss_fn(dp):
-                mags_fake = [L.stft_magnitude(y_hat_sg[..., 0], *res).astype(cd)
-                             for res in cfg.resolutions]
                 dpc = cast_p(dp)
-                y_d_r = disc.apply(dpc, y_slice_c, mags_real)
-                y_d_g = disc.apply(dpc, y_hat_sg_c, mags_fake)
+                y_d_r = disc.apply(dpc, y_slice_c, mags_real_c)
+                y_d_g = disc.apply(dpc, y_hat_sg_c, mags_fake_c)
                 loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
                 return loss_disc, (r_losses, g_losses)
 
@@ -179,7 +189,10 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 return loss_p
             loss_disc_p, p_grads = jax.value_and_grad(p_loss_fn)(state["dur"])
             p_grads, grad_norm_p = clip_grad_value(p_grads, None)
-            p_updates, dur_opt_state = dur_opt.update(p_grads, state["dur_opt"], state["dur"], 1e-4)
+            # P lr is a runtime scalar: base 1e-4 decayed per epoch by the
+            # caller (reference train.py:100-102 AdamW(1e-4) + scheduler_p,
+            # train.py:137,148)
+            p_updates, dur_opt_state = dur_opt.update(p_grads, state["dur_opt"], state["dur"], lr_p)
             new_dur = jax.tree_util.tree_map(lambda p, u: p + u, state["dur"], p_updates)
         else:
             loss_disc_p = jnp.zeros(())
@@ -209,8 +222,9 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl + loss_kl_q
                 metrics.update({"loss_mel": loss_mel, "loss_fm": loss_fm})
             else:
-                sc_loss, mag_loss, _, mags_fake = L.multi_resolution_stft_loss(
-                    y_slice[..., 0], y_hat_g[..., 0], resolutions=cfg.resolutions)
+                mags_fake = diff_outs["mags_fake"]
+                sc_loss, mag_loss = L.multi_resolution_stft_losses(
+                    mags_real, mags_fake)
                 loss_stft = (sc_loss + mag_loss) * cfg.c_stft
                 y_d_g = disc.apply(cast_p(new_disc), y_hat_g.astype(cd),
                                    [m.astype(cd) for m in mags_fake])
