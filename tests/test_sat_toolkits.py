@@ -61,6 +61,66 @@ def test_emotion_fallback_extractor(tmp_path):
     np.testing.assert_array_equal(emb, emb2)
 
 
+class _FakeOnnxSession:
+    """Stands in for an onnxruntime.InferenceSession of the audonnx w2v2
+    export: input `signal` (1, T) f32 → outputs hidden_states (1, 1024) and
+    logits (1, 3). Deterministic affine of simple signal stats."""
+
+    class _IO:
+        def __init__(self, name):
+            self.name = name
+
+    def get_inputs(self):
+        return [self._IO("signal")]
+
+    def get_outputs(self):
+        return [self._IO("logits"), self._IO("hidden_states")]
+
+    def run(self, names, feed):
+        x = feed["signal"]
+        assert x.ndim == 2 and x.dtype == np.float32
+        assert np.max(np.abs(x)) <= 1.0 + 1e-6  # peak-normalized
+        outs = {
+            "logits": np.tile(x.mean(keepdims=True), (1, 3)),
+            "hidden_states": x.std() * np.arange(1024, dtype=np.float32)[None],
+        }
+        return [outs[n] for n in names]
+
+
+def test_emotion_onnx_extractor(tmp_path, monkeypatch):
+    """ONNX route (extract_emotion2.py parity): audonnx-style model dir
+    dispatches to the onnxruntime session and picks the hidden_states head."""
+    from vits_tpu.toolkits import extract_emotion as ee
+
+    mdir = tmp_path / "w2v2-onnx"
+    mdir.mkdir()
+    (mdir / "model.onnx").write_bytes(b"\x08\x07")  # content never parsed here
+    assert ee._is_onnx_model(str(mdir))
+    assert ee._is_onnx_model(str(mdir / "model.onnx"))
+    assert not ee._is_onnx_model(str(tmp_path))
+    assert not ee._is_onnx_model(None)
+
+    fake = _FakeOnnxSession()
+    wav = np.random.RandomState(1).uniform(-0.3, 0.3, 16000).astype(np.float32)
+    emb = ee.extract_onnx(wav, 16000, str(mdir), session=fake)
+    assert emb.shape == (1024,) and emb.dtype == np.float32
+    # hidden_states head selected (monotone ramp), not the 3-d logits
+    assert emb[0] == 0.0 and emb[1023] > emb[1]
+    with pytest.raises(ValueError):
+        ee.extract_onnx(wav, 22050, str(mdir), session=fake)
+
+    # extract_to_file dispatches on the model-dir shape; inject the fake
+    # session through the module cache (onnxruntime absent in this image)
+    monkeypatch.setitem(ee._model_cache, ("onnx", str(mdir)), fake)
+    sr = 16000
+    write_wav(str(tmp_path / "b.wav"), wav, sr)
+    out = ee.extract_to_file(str(tmp_path / "b.wav"), str(tmp_path / "b.emo"),
+                             model_path=str(mdir))
+    assert out.shape == (1024,)
+    np.testing.assert_array_equal(
+        out, np.fromfile(str(tmp_path / "b.emo"), np.float32))
+
+
 def test_append_spkid(tmp_path, capsys):
     """appendspkid.pl parity: join a `utt spkid` map into an scp
     (reference toolkits/appendspkid.pl)."""

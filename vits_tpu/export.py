@@ -125,6 +125,10 @@ def main(argv=None):
     parser.add_argument("--greedy-soup", "--greedy", default=5, type=int)
     parser.add_argument("--convert", "-c", default=0, type=int,
                         help="1: AOT-export bucketed infer_p1/p2 (.jaxexp)")
+    parser.add_argument("--text-buckets", type=str, default=None,
+                        help="comma-separated text buckets for --convert")
+    parser.add_argument("--frame-buckets", type=str, default=None,
+                        help="comma-separated frame buckets for --convert")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args(argv)
 
@@ -148,7 +152,9 @@ def main(argv=None):
     if not args.discriminator:
         logging.info("Total parameters: %d", count_params_like_reference(params))
 
-    shutil.copyfile(config_path, os.path.join(args.outdir, "config.json"))
+    out_config = os.path.join(args.outdir, "config.json")
+    if not (os.path.exists(out_config) and os.path.samefile(config_path, out_config)):
+        shutil.copyfile(config_path, out_config)
     ckpt_mod.save_checkpoint(os.path.join(args.outdir, "checkpoint.npz"),
                              {"model": jax.device_get(params)})
     logging.info("Exported parameters from [%s] to [%s/checkpoint.npz]",
@@ -157,7 +163,12 @@ def main(argv=None):
     if args.convert and not args.discriminator:
         synth = module
         folded = fold_weight_norm(params)
-        n = export_aot(synth, folded, args.outdir, hps)
+        kw = {}
+        if args.text_buckets:
+            kw["text_buckets"] = tuple(int(s) for s in args.text_buckets.split(","))
+        if args.frame_buckets:
+            kw["frame_buckets"] = tuple(int(s) for s in args.frame_buckets.split(","))
+        n = export_aot(synth, folded, args.outdir, hps, **kw)
         logging.info("AOT-exported %d bucketed graphs to %s", n, args.outdir)
 
 

@@ -48,7 +48,8 @@ class EmoVITS:
 
     def __init__(self, checkpoint_path: Optional[str] = None, *, loglv: int = 0,
                  text_quantum: int = 32, frame_quantum: int = 64,
-                 compute_dtype=None, quantize: Optional[bool] = None):
+                 compute_dtype=None, quantize: Optional[bool] = None,
+                 aot: Optional[bool] = None):
         self.loglv = loglv
         # serving-mode knobs, env-overridable so the serving stack can opt in
         # without config plumbing: VITS_TPU_DTYPE=fp32|bf16, VITS_TPU_QUANTIZE=1
@@ -129,6 +130,26 @@ class EmoVITS:
             "VITS_TPU_Q8_CALIB_REQUESTS", "8")))
         self.q8_margin = float(os.environ.get("VITS_TPU_Q8_MARGIN", "1.1"))
         self.q8_min_corr = float(os.environ.get("VITS_TPU_Q8_MIN_CORR", "0.995"))
+
+        # AOT serving (reference TRT-engine deployment, trt_infer.py:7-98):
+        # serve from the .jaxexp artifacts written by `export --convert 1`
+        # next to checkpoint.npz. Requests whose shapes exceed the exported
+        # buckets fall back to the jitted path; the artifacts are validated
+        # against the jit graph by tests/test_aot.py (check_trace analog).
+        if aot is None:
+            aot = os.environ.get("VITS_TPU_AOT", "0") not in ("0", "", "false")
+        self.aot = None
+        if aot:
+            if compute_dtype != jnp.float32:
+                raise ValueError("AOT artifacts are exported at fp32; "
+                                 "use compute_dtype=fp32 with aot=True")
+            from vits_tpu.serve.aot import AOTBundle
+            bundle = AOTBundle(self.res_root_path)
+            if bundle.text_buckets():
+                self.aot = bundle
+            else:
+                logger.warning("aot=True but no .jaxexp artifacts in %s — "
+                               "serving from the jitted path", self.res_root_path)
         self.inference = self.infer
 
     # ---------------- resource management (infer.py:77-133) ----------------
@@ -268,20 +289,28 @@ class EmoVITS:
                 emo = (first, -1 if len(emo) == 1 else emo[1])
             emo_vec = self._get_spk_emo_embed(emo)
 
-        # phase 1 (bucketed text)
-        x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
+        # phase 1 (bucketed text); prefer an AOT bucket when a bundle serves
+        aot_tb = self.aot.pick_text_bucket(x_length) if self.aot else None
+        x_pad = aot_tb or self._quantize(x_length, self.text_quantum, self.max_text_len)
         x = np.zeros((1, x_pad, self.text_channels), np.float32)
         x[0, :x_length] = text[:x_pad]
         x_mask = np.zeros((1, x_pad, 1), np.float32)
         x_mask[0, :x_length] = 1.0
-        m_p, s_p, logw, g = self._p1(self.params, jnp.asarray(x), jnp.asarray(x_mask),
-                                     jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
+        if aot_tb:
+            m_p, s_p, logw, g = self.aot.call_p1(
+                aot_tb, self.params, jnp.asarray(x), jnp.asarray(x_mask),
+                jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
+        else:
+            m_p, s_p, logw, g = self._p1(self.params, jnp.asarray(x), jnp.asarray(x_mask),
+                                         jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
 
         # host: durations -> alignment (infer.py:169-176)
         w = np.exp(np.asarray(logw, np.float32))[0, :x_length, 0] * duration_rate
         w_ceil = np.ceil(w)
         y_length = max(int(w_ceil.sum()), 1)
-        y_pad = self._quantize(y_length, self.frame_quantum)
+        aot_fb = (self.aot.pick_frame_bucket(aot_tb, y_length)
+                  if aot_tb and not self.quantize else None)
+        y_pad = aot_fb or self._quantize(y_length, self.frame_quantum)
         dur = np.zeros((1, x_pad), np.float32)
         dur[0, :x_length] = w_ceil
         attn = np.asarray(infer_path(jnp.asarray(dur), y_pad), np.float32)
@@ -295,6 +324,9 @@ class EmoVITS:
         if self.quantize and self._q8_observe(attn_j, m_p, s_p, g, noise_j, y_mask_j):
             wav = self._p2q(self.params, self.dec_q8, attn_j, m_p, s_p, g,
                             noise_j, y_mask_j)
+        elif aot_fb:
+            wav = self.aot.call_p2(aot_tb, aot_fb, self.params, attn_j, m_p,
+                                   s_p, g, noise_j, y_mask_j)
         else:
             wav = self._p2(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
         wav = np.asarray(wav, np.float32)[0, :y_length * self.hop_size, 0]
