@@ -141,6 +141,71 @@ def test_export_cli(deploy_dir, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_infer_stream_matches_infer(deploy_dir):
+    """Chunked streaming synthesis == one-shot synthesis, sample for sample
+    (north-star config 5). frame_quantum=16 keeps y_pad (and thus the seeded
+    noise-ring slice) identical between the two paths while forcing several
+    decode windows."""
+    d, synth, params = deploy_dir
+    from vits_tpu.infer import EmoVITS
+    model = EmoVITS(os.path.join(d, "checkpoint.npz"), frame_quantum=16)
+    rng = np.random.RandomState(11)
+    text = rng.randn(37, 16).astype(np.float32)
+    emo = rng.randn(1024).astype(np.float32)
+    np.random.seed(99)
+    wav, _ = model.infer(2, text, emo)
+    np.random.seed(99)
+    chunks = list(model.infer_stream(2, text, emo))
+    assert len(chunks) > 2, "expected several decode windows"
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == wav.shape
+    np.testing.assert_allclose(streamed, wav, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def deploy_dir_8k(tmp_path_factory):
+    """Deployment whose native rate survives _parse_input's >=8000 Hz clamp,
+    so VITSWrap's native (window-level) streaming path is exercised."""
+    d = tmp_path_factory.mktemp("deploy8k")
+    cfg = json.loads(json.dumps(TINY_JSON))
+    cfg["data"]["sampling_rate"] = 8000
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    from vits_tpu.config import get_hparams_from_file
+    hps = get_hparams_from_file(str(d / "config.json"))
+    synth = Synthesizer.from_hps(hps)
+    params = synth.init_params(jax.random.PRNGKey(7))
+    ckpt.save_checkpoint(str(d / "checkpoint.npz"), {"model": jax.device_get(params)})
+    return str(d)
+
+
+def test_speaking_stream_matches_speaking(deploy_dir_8k):
+    """speaking_stream's concatenated PCM == speaking()'s WAV payload at the
+    native rate (including the tail-silence chunk), and the final metadata
+    dict carries the same segment/timing surface."""
+    from vits_tpu.vits_wrap import VITSWrap
+    tts = VITSWrap(os.path.join(deploy_dir_8k, "checkpoint.npz"))
+    inputs = {"text": "hello world, this is a streaming test.", "spkid": 1,
+              "emotion": np.zeros(1024, np.float32), "volume": 0.8,
+              "tail_silence": 0.05}
+    np.random.seed(4)
+    ref = tts.speaking(dict(inputs))
+    np.random.seed(4)
+    msgs = list(tts.speaking_stream(dict(inputs)))
+    final = msgs[-1]
+    assert final.get("final") is True and "wav" not in final
+    pcm_chunks = [m for m in msgs[:-1]]
+    assert all(m["sr"] == 8000 for m in pcm_chunks)
+    assert [m["seq"] for m in pcm_chunks] == list(range(len(pcm_chunks)))
+    ref_pcm = np.frombuffer(ref["wav"][44:], np.int16)
+    got_pcm = np.frombuffer(b"".join(m["pcm"] for m in pcm_chunks), np.int16)
+    assert got_pcm.shape == ref_pcm.shape
+    # the streamed decode is the same masked graph; int16 quantization may
+    # round differently by at most 1 LSB under XLA fusion differences
+    assert np.abs(got_pcm.astype(np.int32) - ref_pcm.astype(np.int32)).max() <= 1
+    assert final["segment_info"] and final["rtf"] > 0
+
+
 def test_vits_wrap_speaking(deploy_dir):
     d, synth, params = deploy_dir
     from vits_tpu.vits_wrap import VITSWrap

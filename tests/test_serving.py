@@ -57,6 +57,39 @@ def test_socket_persistent_connection(server):
         sock.close()
 
 
+def test_socket_streaming(server):
+    """stream=True: framed PCM chunk dicts, then the final metadata dict."""
+    from vits_tpu.serve.protocol import synthesize_stream
+    msgs = list(synthesize_stream(
+        {"text": "stream me please. " * 8, "spkid": 1,
+         "emotion": np.zeros(1024, np.float32)}, server))
+    assert msgs and msgs[-1].get("final") is True
+    chunks = msgs[:-1]
+    assert chunks, "expected at least one PCM chunk before the final dict"
+    assert all(isinstance(m["pcm"], bytes) and m["sr"] > 0 for m in chunks)
+    assert [m["seq"] for m in chunks] == list(range(len(chunks)))
+    total = sum(len(m["pcm"]) for m in chunks)
+    assert total > 0 and msgs[-1]["rtf"] > 0
+
+
+def test_http_gateway_streaming(server):
+    httpd = http_mod.serve(host="127.0.0.1", port=0, remote=server)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = (f"http://127.0.0.1:{port}/api/text2speech"
+               f"?tex=streaming+hello&per=1&emo=0&stm=1")
+        with urllib.request.urlopen(url, timeout=60) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()  # urllib reassembles chunked transfer
+        assert body[:4] == b"RIFF" and len(body) > 44
+        # unknown-length streaming WAV header convention
+        assert body[40:44] == b"\xff\xff\xff\xff" or len(body) > 44
+    finally:
+        httpd.shutdown()
+
+
 def test_http_gateway(server):
     httpd = http_mod.serve(host="127.0.0.1", port=0, remote=server)
     port = httpd.server_address[1]

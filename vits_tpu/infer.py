@@ -118,6 +118,7 @@ class EmoVITS:
         self._p2q = jax.jit(self._infer_p2_q8_impl)
         self._latent = jax.jit(self._latent_impl)
         self._calib = jax.jit(self._calib_impl)
+        self._dec_chunk = jax.jit(self._dec_chunk_impl)
         # int8 decoder (nn.quant): activation scales are calibrated as a
         # running max-abs over the first `q8_calib_requests` requests (those
         # requests are served from the float path), then frozen with a safety
@@ -231,6 +232,11 @@ class EmoVITS:
         """Per-request max-abs record of every quantizable conv input."""
         return self.synth.dec.calibrate(params["dec"], z, g=g, x_mask=y_mask)
 
+    def _dec_chunk_impl(self, params, z_chunk, g, y_mask_chunk):
+        """Masked decode of one latent window (streaming path)."""
+        return self.synth.dec.apply(params["dec"], z_chunk, g=g,
+                                    x_mask=y_mask_chunk)
+
     def _q8_observe(self, attn_j, m_p, s_p, g, noise_j, y_mask_j):
         """Fold one request's activation statistics into the running record;
         freeze + quality-gate the int8 decoder once enough requests were seen.
@@ -272,13 +278,11 @@ class EmoVITS:
         m = ((n + q - 1) // q) * q
         return min(m, cap) if cap else m
 
-    def infer(self, spkid: int, text: np.ndarray, emo=None, *,
-              duration_rate: float = 1.0):
-        """text: (N, text_channels) float32 -> (wav float32 (T,), emo used)."""
+    def _resolve_request(self, spkid: int, text: np.ndarray, emo):
+        """Speaker remap + emotion-vector resolution shared by infer paths."""
         x_length = int(text.shape[0])
         spkid = self.spkid_mapping.get(spkid, spkid)
         assert spkid < self.num_speaker, f"spkid={spkid} >= {self.num_speaker}"
-
         if isinstance(emo, np.ndarray) and emo.ndim <= 2 and emo.size == 1024:
             emo_vec = emo.reshape(-1).astype(np.float32)
         else:
@@ -288,29 +292,21 @@ class EmoVITS:
                 first = self.spkid_mapping.get(int(emo[0]), int(emo[0])) if emo[0] != 0 else spkid
                 emo = (first, -1 if len(emo) == 1 else emo[1])
             emo_vec = self._get_spk_emo_embed(emo)
+        return spkid, emo_vec, x_length
 
-        # phase 1 (bucketed text); prefer an AOT bucket when a bundle serves
-        aot_tb = self.aot.pick_text_bucket(x_length) if self.aot else None
-        x_pad = aot_tb or self._quantize(x_length, self.text_quantum, self.max_text_len)
+    def _run_phase1(self, spkid, text, emo_vec, x_length, x_pad, aot_tb=None):
         x = np.zeros((1, x_pad, self.text_channels), np.float32)
         x[0, :x_length] = text[:x_pad]
         x_mask = np.zeros((1, x_pad, 1), np.float32)
         x_mask[0, :x_length] = 1.0
-        if aot_tb:
-            m_p, s_p, logw, g = self.aot.call_p1(
-                aot_tb, self.params, jnp.asarray(x), jnp.asarray(x_mask),
+        args = (self.params, jnp.asarray(x), jnp.asarray(x_mask),
                 jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
-        else:
-            m_p, s_p, logw, g = self._p1(self.params, jnp.asarray(x), jnp.asarray(x_mask),
-                                         jnp.asarray(emo_vec[None]), jnp.asarray([spkid], jnp.int32))
+        if aot_tb:
+            return self.aot.call_p1(aot_tb, *args)
+        return self._p1(*args)
 
-        # host: durations -> alignment (infer.py:169-176)
-        w = np.exp(np.asarray(logw, np.float32))[0, :x_length, 0] * duration_rate
-        w_ceil = np.ceil(w)
-        y_length = max(int(w_ceil.sum()), 1)
-        aot_fb = (self.aot.pick_frame_bucket(aot_tb, y_length)
-                  if aot_tb and not self.quantize else None)
-        y_pad = aot_fb or self._quantize(y_length, self.frame_quantum)
+    def _alignment(self, w_ceil, x_length, x_pad, y_length, y_pad):
+        """Host-side duration expansion + noise-ring slice (infer.py:169-176)."""
         dur = np.zeros((1, x_pad), np.float32)
         dur[0, :x_length] = w_ceil
         attn = np.asarray(infer_path(jnp.asarray(dur), y_pad), np.float32)
@@ -319,8 +315,28 @@ class EmoVITS:
         noise = np.resize(self.noise[start:start + nl], (nl,)).reshape(1, y_pad, self.inter_channels)
         y_mask = np.zeros((1, y_pad, 1), np.float32)
         y_mask[0, :y_length] = 1.0
+        return jnp.asarray(attn), jnp.asarray(noise), jnp.asarray(y_mask)
 
-        attn_j, noise_j, y_mask_j = jnp.asarray(attn), jnp.asarray(noise), jnp.asarray(y_mask)
+    def infer(self, spkid: int, text: np.ndarray, emo=None, *,
+              duration_rate: float = 1.0):
+        """text: (N, text_channels) float32 -> (wav float32 (T,), emo used)."""
+        spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
+
+        # phase 1 (bucketed text); prefer an AOT bucket when a bundle serves
+        aot_tb = self.aot.pick_text_bucket(x_length) if self.aot else None
+        x_pad = aot_tb or self._quantize(x_length, self.text_quantum, self.max_text_len)
+        m_p, s_p, logw, g = self._run_phase1(spkid, text, emo_vec, x_length,
+                                             x_pad, aot_tb)
+
+        # host: durations -> alignment (infer.py:169-176)
+        w = np.exp(np.asarray(logw, np.float32))[0, :x_length, 0] * duration_rate
+        w_ceil = np.ceil(w)
+        y_length = max(int(w_ceil.sum()), 1)
+        aot_fb = (self.aot.pick_frame_bucket(aot_tb, y_length)
+                  if aot_tb and not self.quantize else None)
+        y_pad = aot_fb or self._quantize(y_length, self.frame_quantum)
+        attn_j, noise_j, y_mask_j = self._alignment(w_ceil, x_length, x_pad,
+                                                    y_length, y_pad)
         if self.quantize and self._q8_observe(attn_j, m_p, s_p, g, noise_j, y_mask_j):
             wav = self._p2q(self.params, self.dec_q8, attn_j, m_p, s_p, g,
                             noise_j, y_mask_j)
@@ -331,6 +347,46 @@ class EmoVITS:
             wav = self._p2(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
         wav = np.asarray(wav, np.float32)[0, :y_length * self.hop_size, 0]
         return wav, emo_vec
+
+    def infer_stream(self, spkid: int, text: np.ndarray, emo=None, *,
+                     duration_rate: float = 1.0,
+                     chunk_frames: Optional[int] = None,
+                     halo: int = 24):
+        """Streaming synthesis: yields float32 wav chunks whose concatenation
+        is bit-identical to `infer()`'s output (north-star config 5).
+
+        Phase 1 + alignment run once; the latent z is computed in one jitted
+        call, then decoded in overlapping windows with a receptive-field halo
+        (Synthesizer.stream_decode semantics), keeping only each window's
+        interior. With `chunk_frames` left at the frame quantum the noise-ring
+        slice equals the non-streaming path's, so outputs match sample-for-
+        sample. Per-window shapes take at most 3 distinct values (first /
+        interior / last), bounding jit compilations.
+
+        The first chunk arrives after ~(chunk+halo)/T of the decode work —
+        time-to-first-audio instead of time-to-full-utterance.
+        """
+        chunk = chunk_frames or self.frame_quantum
+        spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
+        x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
+        m_p, s_p, logw, g = self._run_phase1(spkid, text, emo_vec, x_length, x_pad)
+
+        w = np.exp(np.asarray(logw, np.float32))[0, :x_length, 0] * duration_rate
+        w_ceil = np.ceil(w)
+        y_length = max(int(w_ceil.sum()), 1)
+        y_pad = self._quantize(y_length, chunk)
+        attn_j, noise_j, y_mask_j = self._alignment(w_ceil, x_length, x_pad,
+                                                    y_length, y_pad)
+
+        # masked latent once (flow reverse); chunked masked decode after
+        z = self._latent(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
+        up = self.hop_size
+        for s in range(0, y_length, chunk):
+            lo = max(0, s - halo)
+            hi = min(y_pad, s + chunk + halo)
+            seg = self._dec_chunk(self.params, z[:, lo:hi], g, y_mask_j[:, lo:hi])
+            keep = min(chunk, y_length - s)
+            yield np.asarray(seg, np.float32)[0, (s - lo) * up:(s - lo + keep) * up, 0]
 
 
 def main(argv=None):

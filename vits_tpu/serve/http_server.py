@@ -19,7 +19,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from vits_tpu.serve.protocol import synthesize
+from vits_tpu.serve.protocol import synthesize, synthesize_stream
+from vits_tpu.utils.audio import wav_header
 
 REMOTE = ("127.0.0.1", 5959)
 _tls = threading.local()
@@ -52,6 +53,10 @@ def _build_inputs(tex, per, vol, spd, pit, emo):
 
 
 class Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 so the streaming mode can use chunked transfer-encoding;
+    # non-streaming responses all carry explicit Content-Length.
+    protocol_version = "HTTP/1.1"
+
     def _json(self, obj, status=200):
         body = json.dumps(obj).encode()
         self.send_response(status)
@@ -67,12 +72,36 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(wav)
 
-    def _serve(self, tex, per, vol, spd, pit, emo):
+    def _wav_stream(self, chunks):
+        """Chunked-transfer streaming WAV: a header with the 0xFFFFFFFF
+        unknown-length convention, then PCM chunks as they are synthesized
+        (north-star config 5 — time-to-first-audio over the gateway)."""
+        def w(b):
+            self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+        started = False
+        for msg in chunks:
+            if msg.get("final"):
+                break
+            if not started:
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                w(wav_header(0xFFFFFFFF - 44, msg["sr"], 16))
+                started = True
+            w(msg["pcm"])
+        if not started:
+            return self._json({"msg": "synthesis failure!"})
+        self.wfile.write(b"0\r\n\r\n")
+
+    def _serve(self, tex, per, vol, spd, pit, emo, stream=False):
         if not tex or len(tex) > 100 * 1024:
             return self._json({"msg": "tex length out of range"}, 400)
         inputs, err = _build_inputs(tex, per, vol, spd, pit, emo)
         if err:
             return self._json(err, 400)
+        if stream:
+            return self._wav_stream(synthesize_stream(inputs, REMOTE))
         outputs = _call_upstream(inputs)
         if outputs is None:
             return self._json({"msg": "synthesis failure!"})
@@ -85,7 +114,8 @@ class Handler(BaseHTTPRequestHandler):
         q = urllib.parse.parse_qs(url.query)
         get = lambda k, d: q.get(k, [d])[0]
         self._serve(get("tex", ""), get("per", 1), get("vol", 100),
-                    get("spd", 0), get("pit", 0), int(get("emo", 0)))
+                    get("spd", 0), get("pit", 0), int(get("emo", 0)),
+                    stream=get("stm", "0") not in ("0", "", "false"))
 
     def do_POST(self):
         url = urllib.parse.urlparse(self.path)
@@ -97,7 +127,8 @@ class Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError:
             return self._json({"msg": "invalid JSON"}, 400)
         self._serve(body.get("tex", ""), body.get("per", 1), body.get("vol", 100),
-                    body.get("spd", 0), body.get("pit", 0), body.get("emo", 0))
+                    body.get("spd", 0), body.get("pit", 0), body.get("emo", 0),
+                    stream=bool(body.get("stm", False)))
 
     def log_message(self, fmt, *args):  # quiet by default
         pass

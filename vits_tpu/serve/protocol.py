@@ -40,6 +40,28 @@ def recv_msg(sock: socket.socket):
     return pickle.loads(recv_exact(sock, size))
 
 
+def synthesize_stream(inputs: dict, remote: Tuple[str, int] = ("localhost", 5959),
+                      timeout: float = 60):
+    """Streaming client call: sends the request with `stream=True` and yields
+    each framed response — PCM chunk dicts ({"pcm", "sr", "seq", ...}) followed
+    by the final metadata dict ({"final": True, ...}). The connection is
+    per-request (the server ends the stream with the final dict)."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.settimeout(timeout)
+    try:
+        sock.connect(remote)
+        send_msg(sock, {**inputs, "stream": True})
+        while True:
+            msg = recv_msg(sock)
+            if msg is None:
+                break
+            yield msg
+            if msg.get("final"):
+                break
+    finally:
+        sock.close()
+
+
 def synthesize(inputs: dict, remote: Tuple[str, int] = ("localhost", 5959),
                tcp_client_socket: Optional[socket.socket] = None,
                return_socket: bool = False):

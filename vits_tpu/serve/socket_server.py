@@ -52,12 +52,22 @@ def tts_worker(server_socket: socket.socket, tts, lock: threading.Lock,
                     break
                 inputs = pickle.loads(recv_exact(conn, size))
                 t0 = time.time()
-                with lock:
-                    outputs = tts.speaking(inputs)
-                    tts.update()
-                send_msg(conn, outputs)
+                if inputs.get("stream"):
+                    # streaming mode (north-star config 5): one framed pickle
+                    # per PCM chunk, terminated by the final metadata dict
+                    # ({"final": True, ...}) — see VITSWrap.speaking_stream.
+                    outputs = None
+                    with lock:
+                        for outputs in tts.speaking_stream(inputs):
+                            send_msg(conn, outputs)
+                        tts.update()
+                else:
+                    with lock:
+                        outputs = tts.speaking(inputs)
+                        tts.update()
+                    send_msg(conn, outputs)
                 if loglv > 0:
-                    rtf = outputs.get("rtf", 1.0)
+                    rtf = (outputs or {}).get("rtf", 1.0)
                     print(f"{strftime()} {func_name}, served {addr} in "
                           f"{time.time()-t0:.3f}s rtf={rtf:.3f}")
         except Exception as e:  # noqa: BLE001

@@ -233,6 +233,90 @@ class VITSWrap:
         outputs["rtf"] = rtf
         return outputs
 
+    def speaking_stream(self, inputs: dict):
+        """Streaming synthesis (north-star config 5): a generator of PCM16
+        chunk dicts followed by one final metadata dict; concatenating the
+        `pcm` fields reproduces `speaking()`'s WAV payload byte-for-byte at
+        the model's native rate.
+
+        Chunk granularity: at native sampling rate the audio streams at the
+        decoder-window level (EmoVITS.infer_stream, time-to-first-audio ≈ one
+        decode window). When pitch!=1 or a non-native sampling_rate is
+        requested, resampling is stateless per call, so conversion happens on
+        whole segments to avoid seam artifacts — granularity degrades to
+        per-segment but long texts still stream segment-by-segment.
+
+        Yields {"pcm": bytes, "sr": int, "seq": int, "segment_index": int},
+        then {"final": True, "sr", "segment_info", "rtf", ...timings}.
+        """
+        (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
+         sampling_rate, tail_silence, emotion) = self._parse_input(inputs)
+
+        batch_utt_id, batch_utt_text = self._split_utt_text(utt_id, utt_text)
+        seq, batch_wavlen = 0, 0
+        segment_info, start_ms, end_ms = [], 0.0, 0.0
+        time_used_frontend, time_used_backend = 0.0, 0.0
+        native = (pitch == 1.0 and sampling_rate == self.default_sampling_rate)
+        for seg_idx, (uid, text) in enumerate(zip(batch_utt_id, batch_utt_text)):
+            start = time.time()
+            uid, utt_segtext, utt_vector = self.textparser(uid, text)
+            end = time.time()
+            time_used_frontend += end - start
+
+            start = end
+            seg_samples = 0
+
+            def emit(wav_f32):
+                nonlocal seq, seg_samples
+                pcm = np.clip(wav_f32 * volume * 32767, -32768, 32767).astype(np.int16)
+                seg_samples += len(pcm)
+                out = {"pcm": pcm.tobytes(), "sr": sampling_rate, "seq": seq,
+                       "segment_index": seg_idx}
+                seq += 1
+                return out
+
+            if native:
+                for chunk in self.speecher.infer_stream(spkid, utt_vector,
+                                                        emotion, duration_rate=speed):
+                    batch_wavlen += len(chunk)
+                    t_emit = time.time()
+                    yield emit(chunk)
+                    start += time.time() - t_emit  # consumer time isn't backend time
+            else:
+                wav, emotion = self.speecher.infer(spkid, utt_vector, emotion,
+                                                   duration_rate=speed)
+                batch_wavlen += len(wav)
+                if pitch != 1.0:
+                    wav = resample(wav, orig_sr=int(self.default_sampling_rate / pitch),
+                                   target_sr=self.default_sampling_rate)
+                sr = self.default_sampling_rate
+                if sampling_rate > sr and self.asv is not None:
+                    wav, sr = self.asv.infer(wav[None], sr)
+                    wav = np.squeeze(wav, axis=0)
+                if sampling_rate != sr:
+                    wav = resample(wav, orig_sr=sr, target_sr=sampling_rate)
+                yield emit(wav)
+            if tail_silence > 0:
+                yield emit(np.zeros(int(tail_silence * sampling_rate), np.float32))
+            time_used_backend += time.time() - start
+
+            end_ms += seg_samples / sampling_rate * 1000
+            segment_info.append({
+                "start_ms": start_ms, "end_ms": end_ms,
+                "input_text": text, "segtext": utt_segtext.printer(),
+            })
+            start_ms = end_ms
+
+        rtf = (time_used_frontend + time_used_backend) / max(batch_wavlen / self.default_sampling_rate, 1e-9)
+        final = dict(inputs)
+        final.pop("wav", None)
+        final.update({"final": True, "sr": sampling_rate,
+                      "segment_info": segment_info,
+                      "time_used_frontend": time_used_frontend * 1000,
+                      "time_used_backend": time_used_backend * 1000,
+                      "rtf": rtf})
+        yield final
+
 
 def main(argv=None):
     """CLI synthesis (parity: vits_wrap.py __main__, 222-327)."""
