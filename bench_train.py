@@ -50,6 +50,17 @@ def main():
         "sid": jnp.asarray(rng.randint(0, hps.data.n_speakers, batch_size), jnp.int32),
     }
 
+    # Analytic FLOPs of the full train step (XLA HloCostAnalysis, host-side)
+    # for the MFU estimate, lowered before the first call (state is donated).
+    # v5e peak: 197 bf16 TFLOP/s.
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        step_flops = None
+
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01)
     jax.device_get(metrics["loss_g_total"])
@@ -73,6 +84,8 @@ def main():
         "spec_frames": spec_frames,
         "compile_s": round(compile_s, 1),
         "loss_g_total": round(loss, 3),
+        "step_flops": step_flops,
+        "mfu_bf16": round(step_flops / dt / 197e12, 4) if step_flops else None,
         "backend": jax.default_backend(),
     }))
 

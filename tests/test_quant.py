@@ -141,3 +141,28 @@ def test_infer_p2_q8_wiring():
     got = synth.infer_p2(p, attn, m_p, s_p, g, noise, dec_q8=dec_q8)
     assert got.shape == ref.shape
     assert corr(got, ref) > 0.99
+
+
+def test_generator_q8_covers_all_conv_macs():
+    """The int8 path must cover conv_pre, every upsample transposed conv, and
+    conv_post — not just the resblocks (VERDICT.md weak #4: the upsample
+    stages are the largest MAC blocks). Guards against regressing to a
+    resblock-only quantization."""
+    gen = _tiny_gen()
+    params = gen.init_params(jax.random.PRNGKey(7))
+    z = jax.random.normal(jax.random.PRNGKey(8), (1, 8, 12))
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, 24))
+    scales = gen.calibrate(params, z, g=g)
+    for k in ("pre_in", "post_in"):
+        assert k in scales
+    for i in range(gen.num_upsamples):
+        assert f"up{i}_in" in scales
+    qp = gen.quantize(params, scales)
+    assert qp["pre_q8"]["w8"].dtype == jnp.int8
+    assert qp["post_q8"]["w8"].dtype == jnp.int8
+    assert set(qp["ups_q8"]) == {str(i) for i in range(gen.num_upsamples)}
+    for i in range(gen.num_upsamples):
+        q = qp["ups_q8"][str(i)]
+        assert q["w8"].dtype == jnp.int8
+        # packed dense transposed kernel: output features = p_in*stride*C_out
+        assert q["w8"].shape[-1] == q["s_w"].shape[-1] == q["b"].shape[-1]

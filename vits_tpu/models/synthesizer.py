@@ -35,6 +35,8 @@ from vits_tpu.nn.packed import (
     repack,
     unpack,
 )
+from vits_tpu.nn import quant as Q
+from vits_tpu.nn.core import wn_kernel
 from vits_tpu.models import attentions
 from vits_tpu.models.modules import (
     LRELU_SLOPE,
@@ -404,7 +406,16 @@ class Generator:
         q8=True runs the resblock convs in int8 (p must come from quantize)."""
         if q8:
             packed = True  # quantized kernels are pre-packed per the schedule
-        x = Conv1d(self.initial_channel, self.upsample_initial_channel, 7, padding=3).apply(p["conv_pre"], x)
+        if record is not None:
+            record["pre_in"] = Q.amax(x)
+        if q8 and "pre_q8" in p:
+            q = p["pre_q8"]
+            fmin, fmax, rd = Q.conv_geometry(7, 1, 1, 3)
+            x = Q.conv1d_q8(Q.quantize_act(x, q["s_in"]), q["w8"], fmin, fmax,
+                            q["s_in"], q["s_w"], q["b"], out_dtype=x.dtype,
+                            rhs_dilation=rd)
+        else:
+            x = Conv1d(self.initial_channel, self.upsample_initial_channel, 7, padding=3).apply(p["conv_pre"], x)
         m = x_mask
         packs = self._pack_schedule() if packed else (1,) * self.num_upsamples
         p_cur = 1
@@ -418,7 +429,15 @@ class Generator:
             if p_cur > 1 and k != 2 * ((k - u) // 2) + u:
                 x = unpack(x, p_cur)  # transposed conv not length-preserving
                 p_cur = 1
-            if p_cur > 1 or p_i > 1:
+            if record is not None:
+                record[f"up{i}_in"] = Q.amax(x)
+            if q8 and str(i) in p.get("ups_q8", {}):
+                q = p["ups_q8"][str(i)]
+                fmin, fmax = Q.transposed_geometry(k, p_cur, u, (k - u) // 2)
+                x = Q.conv1d_q8(Q.quantize_act(x, q["s_in"]), q["w8"], fmin, fmax,
+                                q["s_in"], q["s_w"], q["b"], out_dtype=x.dtype)
+                x = repack(x, p_cur * u, p_i)
+            elif p_cur > 1 or p_i > 1:
                 x = conv_transpose1d_packed(self._up(i), p["ups"][str(i)], x, p_cur)
                 x = repack(x, p_cur * u, p_i)
             else:
@@ -442,11 +461,22 @@ class Generator:
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (models.py:315)
         ch_last = self.upsample_initial_channel // (2 ** self.num_upsamples)
         post = Conv1d(ch_last, 1, 7, padding=3, bias=False)
-        if p_cur > 1:
-            x = conv1d_packed(post, p["conv_post"], mask_packed(x, m, p_cur), p_cur)
+        xm = mask_packed(x, m, p_cur) if p_cur > 1 else _mask(x, m)
+        if record is not None:
+            record["post_in"] = Q.amax(xm)
+        if q8 and "post_q8" in p:
+            q = p["post_q8"]
+            fmin, fmax, rd = Q.conv_geometry(7, p_cur, 1, 3)
+            x = Q.conv1d_q8(Q.quantize_act(xm, q["s_in"]), q["w8"], fmin, fmax,
+                            q["s_in"], q["s_w"], None, out_dtype=xm.dtype,
+                            rhs_dilation=rd)
+            if p_cur > 1:
+                x = unpack(x, p_cur)
+        elif p_cur > 1:
+            x = conv1d_packed(post, p["conv_post"], xm, p_cur)
             x = unpack(x, p_cur)
         else:
-            x = post.apply(p["conv_post"], _mask(x, m))
+            x = post.apply(p["conv_post"], xm)
         return jnp.tanh(x)
 
     def calibrate(self, p, x, g=None, x_mask=None):
@@ -460,22 +490,48 @@ class Generator:
         return record
 
     def quantize(self, p, scales):
-        """Post-training int8 quantization (nn.quant): resblock conv kernels
-        → pre-packed int8 with per-channel scales; activation scales from a
-        calibrate() run. Upsample/pre/post convs stay in the float path.
-        Returns qparams for apply(..., q8=True)."""
+        """Post-training int8 quantization (nn.quant) of the full decoder:
+        resblock convs, the upsample transposed convs (pre-packed dense
+        phase-major form), and conv_pre/conv_post — per-output-channel int8
+        weights, per-conv calibrated activation scales from a calibrate()
+        run. Gates, residuals, and speaker conditioning stay in the float
+        path. Analog of the reference's full-engine TRT INT8 deployment
+        (toolkits/onnx2engine.py:13-58). Returns qparams for
+        apply(..., q8=True)."""
         if self.resblock != "2":
             raise NotImplementedError("int8 decode implemented for ResBlock2 "
                                       "(the shipped configs' resblock)")
         packs = self._pack_schedule()
         qp = {"conv_pre": p["conv_pre"], "ups": p["ups"],
-              "conv_post": p["conv_post"], "resblocks": {}}
+              "conv_post": p["conv_post"], "resblocks": {}, "ups_q8": {}}
+        w8, s_w = Q.quantize_kernel(wn_kernel(p["conv_pre"]))
+        qp["pre_q8"] = {"w8": w8, "s_w": s_w, "b": p["conv_pre"].get("b"),
+                        "s_in": Q.act_scale(scales["pre_in"])}
+        p_cur = 1
         for i in range(self.num_upsamples):
+            u, k = self.upsample_rates[i], self.upsample_kernel_sizes[i]
+            pad = (k - u) // 2
+            if k != 2 * pad + u:
+                p_cur = 1  # apply() unpacks and runs this stage in float
+            else:
+                w8, s_w = Q.pack_quantize_transposed_kernel(
+                    wn_kernel(p["ups"][str(i)]), k, p_cur, u, pad)
+                qp["ups_q8"][str(i)] = {
+                    "w8": w8, "s_w": s_w,
+                    "b": Q.tile_bias(p["ups"][str(i)].get("b"), p_cur * u),
+                    "s_in": Q.act_scale(scales[f"up{i}_in"]),
+                }
+            p_cur = packs[i]
             for j in range(self.num_kernels):
                 idx = i * self.num_kernels + j
                 rb = self._resblock(i, j)
                 qp["resblocks"][str(idx)] = rb.quantize_params(
                     p["resblocks"][str(idx)], scales, packs[i], prefix=f"rb{idx}_")
+        p_last = packs[-1] if packs else 1
+        w8, s_w, _, _, _ = Q.pack_quantize_kernel(
+            wn_kernel(p["conv_post"]), 7, p_last, 1, 3)
+        qp["post_q8"] = {"w8": w8, "s_w": s_w,
+                         "s_in": Q.act_scale(scales["post_in"])}
         return qp
 
     __call__ = apply

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from vits_tpu.nn.packed import _pack_kernel, _phase_map_regular
+from vits_tpu.nn.packed import _pack_kernel, _phase_map_regular, _phase_map_transposed
 
 _DN1 = ("NWC", "WIO", "NWC")
 
@@ -72,6 +72,27 @@ def pack_quantize_kernel(w, kernel_size, pack, dilation, padding):
     wp = _pack_kernel(jnp.asarray(w, jnp.float32), jidx, valid)
     w8, s = quantize_kernel(wp)
     return w8, s, fmin, fmax, 1
+
+
+def pack_quantize_transposed_kernel(w, kernel_size, pack_in, stride, padding):
+    """Scatter a torch-semantics transposed-conv kernel (K, C_in, C_out,
+    forward layout) to its phase-packed dense form — (A, p_in*C_in,
+    p_in*stride*C_out), output phase-major — and int8-quantize it per output
+    channel. Requires the length-preserving geometry k == 2*pad + stride
+    (nn.packed._phase_map_transposed). Analog of the reference's TRT engine
+    compile of the ONNX ConvTranspose nodes (toolkits/onnx2engine.py:13-58).
+
+    Returns (w8, s_w[p_in*stride*C_out])."""
+    _, _, jidx, valid = _phase_map_transposed(kernel_size, pack_in, stride, padding)
+    wp = _pack_kernel(jnp.asarray(w, jnp.float32), jidx, valid)
+    return quantize_kernel(wp)
+
+
+def transposed_geometry(kernel_size, pack_in, stride, padding):
+    """Static edge geometry (fmin, fmax) of the packed transposed conv,
+    matching pack_quantize_transposed_kernel."""
+    fmin, fmax, _, _ = _phase_map_transposed(kernel_size, pack_in, stride, padding)
+    return fmin, fmax
 
 
 def conv1d_q8(x8, w8, fmin, fmax, s_in, s_w, bias=None, out_dtype=jnp.bfloat16,

@@ -173,7 +173,14 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         d_grads, grad_norm_d = clip_grad_value(d_grads, None)
         d_updates, disc_opt_state = disc_opt.update(d_grads, state["disc_opt"], state["disc"], lr_d)
         new_disc = jax.tree_util.tree_map(lambda p, u: p + u, state["disc"], d_updates)
-        new_disc = sn_update(new_disc)  # advance spectral-norm power iteration
+        # Advance the spectral-norm power iteration once per step. torch's
+        # spectral_norm power-iterates on every forward (so u advances twice
+        # per reference step: D pass and G pass); here the D pass uses the
+        # incoming u and the G pass below uses this advanced u — same
+        # fixed-point, u trails torch's by one half-step. Documented
+        # deviation: sigma converges to the same top singular value either
+        # way and the GAN objective is unaffected beyond warmup noise.
+        new_disc = sn_update(new_disc)
 
         # duration discriminator D step (train.py:205,215-220)
         new_dur = state.get("dur")
