@@ -50,17 +50,14 @@ def main():
         "sid": jnp.asarray(rng.randint(0, hps.data.n_speakers, batch_size), jnp.int32),
     }
 
-    # Analytic FLOPs of the full train step (XLA HloCostAnalysis, host-side)
-    # for the MFU estimate, lowered before the first call (state is donated).
-    # v5e peak: 197 bf16 TFLOP/s.
-    try:
-        ca = step.lower(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        step_flops = None
+    # Closed-form useful FLOPs of the full train step (utils/flops.py —
+    # cost_analysis() is null on the axon backend). v5e peak: 197 bf16 TFLOP/s.
+    from vits_tpu.utils import flops as FL
+    step_flops = FL.train_step_flops(synth, disc, cfg, batch_size, text_len,
+                                     spec_frames)
 
+    # compile_s includes trace + XLA compile + first execution (timed around
+    # the first call).
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01)
     jax.device_get(metrics["loss_g_total"])

@@ -2,10 +2,12 @@
 reference at configs/base.json scale.
 
 The TINY-config parity suite (test_model_parity.py) cannot exercise
-full-size-only surfaces: the 384-entry relative-PE table cap
-(reference attentions.py window_size handling), the decoder pack schedule at
-real channel widths (512->32 over 4 stages), and numerical drift through the
-deep stacks (6-layer encoder, 16-layer posterior WN, 4 flows). This runs the
+full-size-only surfaces: long sequences against the 384-entry sinusoidal PE
+table (this fork uses plain SDPA — no relative-position attention; see
+models/attentions.py:4-5 and reference attentions.py:57-100), the decoder
+pack schedule at real channel widths (512->32 over 4 stages), and numerical
+drift through the deep stacks (6-layer encoder, 16-layer posterior WN,
+4 flows). This runs the
 reference SynthesizerTrn (models.py:411-575) random-initialised at the full
 base config on CPU, bridges the state_dict, and requires allclose on
 infer_p1 + infer_p2 for a realistically long utterance.
@@ -71,8 +73,8 @@ def fullsize():
 
 
 def test_fullsize_infer_parity(fullsize):
-    """infer_p1 + infer_p2 allclose at base scale, T_x long enough to use
-    the relative-PE window (window_size=4 either side) in every layer."""
+    """infer_p1 + infer_p2 allclose at base scale, T_x long enough that the
+    sinusoidal-PE + SDPA stack sees realistic sequence lengths."""
     hps, tm, ours, params = fullsize
     T_x = 64
     rng = np.random.RandomState(123)
@@ -115,10 +117,11 @@ def test_fullsize_infer_parity(fullsize):
     assert corr > 0.99999, corr
 
 
-def test_fullsize_pe_window_cap(fullsize):
-    """T_x > the relative-PE window span still matches torch — guards the
-    windowed relative attention at the full window_size=4 (attentions.py
-    window clipping), which TINY's short sequences cannot."""
+def test_fullsize_long_sequence_parity(fullsize):
+    """T_x=96 (beyond anything the TINY suite runs) still matches torch —
+    guards the learned-α sinusoidal PE table lookup and masked SDPA at long
+    lengths. (This fork has no relative-position attention: reference
+    attentions.py:57-100 is plain SDPA.)"""
     hps, tm, ours, params = fullsize
     T_x = 96
     rng = np.random.RandomState(7)

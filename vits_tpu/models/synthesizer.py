@@ -403,7 +403,10 @@ class Generator:
         packed=True keeps small-channel stages phase-packed at 128 lanes
         (identical numerics; see nn.packed). record: a dict to collect
         per-conv-input max-abs during a calibration pass (see calibrate).
-        q8=True runs the resblock convs in int8 (p must come from quantize)."""
+        q8=True runs the full decoder conv stack in int8 — conv_pre, the
+        length-preserving upsample transposed convs, the resblock convs, and
+        conv_post (p must come from quantize; speaker-cond Dense stays
+        float)."""
         if q8:
             packed = True  # quantized kernels are pre-packed per the schedule
         if record is not None:
@@ -775,11 +778,13 @@ class Synthesizer:
             outs.append(seg[:, (s - lo) * up:(s - lo + keep) * up])
         return jnp.concatenate(outs, axis=1)
 
-    def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None, dec_q8=None):
+    def infer_p2(self, p, attn, m_p, s_p, g, noise, y_mask=None, dec_q8=None,
+                 packed=True):
         """Phase 2 (models.py:568-575): expand prior along attn, flow-reverse,
         decode. noise: (B, T_y, C) pre-scaled noise. dec_q8: optional int8
         decoder params from quantize_decoder() — the opt-in quantized serving
-        mode (flow stays in the float path)."""
+        mode (flow stays in the float path). packed=False forces the dense
+        (unpacked) decoder graph — used by the FLOP cross-check tests."""
         attn = attn.astype(m_p.dtype)
         noise = noise.astype(m_p.dtype)
         if y_mask is not None:
@@ -790,7 +795,8 @@ class Synthesizer:
         z = self.flow.apply(p["flow"], z_p, y_mask, g=g, reverse=True)
         if dec_q8 is not None:
             return self.dec.apply(dec_q8, _mask(z, y_mask), g=g, x_mask=y_mask, q8=True)
-        return self.dec.apply(p["dec"], _mask(z, y_mask), g=g, x_mask=y_mask)
+        return self.dec.apply(p["dec"], _mask(z, y_mask), g=g, x_mask=y_mask,
+                              packed=packed)
 
     def quantize_decoder(self, p, z_cal, g_cal, y_mask=None):
         """Calibrate + quantize the HiFi-GAN decoder to int8 (nn.quant) on

@@ -41,6 +41,72 @@ def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(wav, frac.numerator, frac.denominator).astype(np.float32)
 
 
+# Separator tiers for long-text splitting, strongest first. Tiers are tried
+# in order; within a tier, each separator is tried backward-from-anchor then
+# forward-from-anchor before moving to the next. `guard` marks separators
+# that must not be cut when either neighbouring character is a digit, so
+# decimals ("3.14"), clock times ("10:30"), and thousand groups ("1,000")
+# stay intact.
+_SPLIT_TIERS = (
+    (("。", "！", "!", "？", "?", "；", ";", "，"), False),
+    ((".", ",", ":", "："), True),
+    (("——", "……", "、", "（", "）", "(", ")", "[", "]", "【", "】"), False),
+    (("~", " ", "\t"), False),
+)
+
+
+def _digit_flanked(text: str, start: int, end: int, limit: int) -> bool:
+    """True when the separator text[start:end] touches a digit on either side
+    or sits at a boundary where a neighbour is missing (both neighbours must
+    exist inside [0, limit) for the cut to be considered safe)."""
+    if start - 1 < 0 or end >= limit:
+        return True
+    return text[start - 1].isdigit() or text[end].isdigit()
+
+
+def _next_cut(text: str, window: int) -> int:
+    """Index to cut `text` at for its next segment: the separator nearest the
+    golden-ratio anchor of the window, searched tier by tier. Falls back to a
+    hard cut at the window edge when no separator qualifies."""
+    anchor = int(window * 0.618)
+    if len(text) < anchor + 2:
+        return len(text)
+    # a double-width separator sitting exactly on the anchor wins outright
+    if text[anchor:anchor + 2] in ("——", "……"):
+        return anchor + 2
+    for seps, guard in _SPLIT_TIERS:
+        for sep in seps:
+            w = len(sep)
+            # nearest occurrence strictly inside the pre-anchor prefix
+            i = text.rfind(sep, 0, anchor)
+            if i >= 0 and not (guard and _digit_flanked(text, i, i + w, anchor)):
+                return i + w
+            # else nearest occurrence at/after the anchor, still in-window
+            i = text.find(sep, anchor)
+            if 0 <= i < window and not (guard and _digit_flanked(text, i, i + w, len(text))):
+                return i + w
+    return min(len(text), window)
+
+
+def split_long_text(text: str, max_utt_length: int) -> list:
+    """Split `text` into pieces no longer than max_utt_length (+1 for an
+    appended comma on hard cuts), cutting at punctuation near the golden-ratio
+    point of each window. Empty input becomes a single "。" stop."""
+    text = (text or "。").strip()
+    if len(text) <= max_utt_length:
+        return [text]
+    pieces = []
+    while text:
+        cut = _next_cut(text, max_utt_length)
+        if cut > max_utt_length:  # double-width separator straddling the edge
+            cut = max_utt_length - 1
+            pieces.append(text[:cut] + "，")
+        else:
+            pieces.append(text[:cut])
+        text = text[cut:]
+    return pieces
+
+
 class _SegText:
     """Minimal segtext carrier matching the reference's .printer() surface."""
 
@@ -117,71 +183,16 @@ class VITSWrap:
         return (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
                 sampling_rate, tail_silence, emotion)
 
-    # --- long-text splitting (vits_wrap.py:101-166) ---
+    # --- long-text splitting ---
+    # Behavior contract (reference vits_wrap.py:101-166, pinned bit-for-bit by
+    # tests/test_split_golden.py): cut as close as possible to the golden-ratio
+    # point of the window, preferring stronger punctuation, never cutting
+    # inside a digit-flanked ./,/: (decimals, times, thousand groups).
     def _split_utt_text(self, utt_id, utt_text):
-        if not utt_text:
-            utt_text = "。"
-        utt_text = utt_text.strip()
-        if len(utt_text) <= self.max_utt_length:
-            return [utt_id], [utt_text]
-
-        center_pos = int(self.max_utt_length * 0.618)
-        max_length = self.max_utt_length
-
-        def find_nearest_center(texts):
-            if len(texts) < center_pos + 2:
-                return len(texts)
-            if texts[center_pos:center_pos + 2] in ("——", "……"):
-                return center_pos + 2
-            for _chr in ["。", "！", "!", "？", "?", "；", ";", "，"]:
-                find_pos = texts[:center_pos][::-1].find(_chr)
-                if 0 <= find_pos < center_pos:
-                    return center_pos - find_pos
-                find_pos = texts.find(_chr, center_pos)
-                if 0 <= find_pos < max_length:
-                    return find_pos + len(_chr)
-            for _chr in [".", ",", ":", "："]:
-                rev = texts[:center_pos][::-1]
-                cl = len(_chr)
-                find_pos = rev.find(_chr)
-                if (0 <= find_pos < center_pos
-                        and find_pos - cl >= 0 and not rev[find_pos - cl].isdigit()
-                        and find_pos + cl < center_pos and not rev[find_pos + cl].isdigit()):
-                    return center_pos - find_pos
-                find_pos = texts.find(_chr, center_pos)
-                if (0 <= find_pos < max_length
-                        and find_pos - cl >= 0 and not texts[find_pos - cl].isdigit()
-                        and find_pos + cl < len(texts) and not texts[find_pos + cl].isdigit()):
-                    return find_pos + cl
-            for _chr in ["——", "……", "、", "（", "）", "(", ")", "[", "]", "【", "】"]:
-                find_pos = texts[:center_pos][::-1].find(_chr)
-                if 0 <= find_pos < center_pos:
-                    return center_pos - find_pos
-                find_pos = texts.find(_chr, center_pos)
-                if 0 <= find_pos < max_length:
-                    return find_pos + len(_chr)
-            for _chr in ["~", " ", "\t"]:
-                find_pos = texts[:center_pos][::-1].find(_chr)
-                if 0 <= find_pos < center_pos:
-                    return center_pos - find_pos
-                find_pos = texts.find(_chr, center_pos)
-                if 0 <= find_pos < max_length:
-                    return find_pos + len(_chr)
-            return min(len(texts), max_length)
-
-        batch_utt_id, batch_utt_text = [], []
-        i = 0
-        while len(utt_text) > 0:
-            pos = find_nearest_center(utt_text)
-            if pos > self.max_utt_length:
-                pos = self.max_utt_length - 1
-                batch_utt_text.append(utt_text[:pos] + "，")
-            else:
-                batch_utt_text.append(utt_text[:pos])
-            batch_utt_id.append(f"{utt_id}-{i}")
-            utt_text = utt_text[pos:]
-            i += 1
-        return batch_utt_id, batch_utt_text
+        texts = split_long_text(utt_text, self.max_utt_length)
+        if len(texts) == 1:
+            return [utt_id], texts
+        return [f"{utt_id}-{k}" for k in range(len(texts))], texts
 
     def speaking(self, inputs: dict) -> dict:
         (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
