@@ -162,6 +162,62 @@ def test_infer_stream_matches_infer(deploy_dir):
     np.testing.assert_allclose(streamed, wav, atol=1e-5)
 
 
+def test_infer_fused_single_dispatch(deploy_dir):
+    """The fused batch-1 latency path (one jitted graph: encode + on-device
+    alignment + flow + decode) produces a finite waveform whose length tracks
+    the two-phase path's for the same request, and falls back to the exact
+    two-phase path when the frame budget would clip."""
+    d, synth, params = deploy_dir
+    from vits_tpu.infer import EmoVITS
+    model = EmoVITS(os.path.join(d, "checkpoint.npz"))
+    rng = np.random.RandomState(21)
+    text = rng.randn(23, 16).astype(np.float32)
+    emo = rng.randn(1024).astype(np.float32)
+    wav2p, _ = model.infer(2, text, emo)
+    wavf, emo_used = model.infer_fused(2, text, emo)
+    assert np.all(np.isfinite(wavf)) and len(wavf) % model.hop_size == 0
+    # same durations drive both paths: lengths match exactly
+    assert len(wavf) == len(wav2p), (len(wavf), len(wav2p))
+    assert emo_used.shape == (1024,)
+    # duration_rate scales the fused output too
+    wslow, _ = model.infer_fused(2, text, emo, duration_rate=1.6)
+    assert len(wslow) > len(wavf)
+    # force an overflowing frame budget -> transparent 2-phase fallback
+    os.environ["VITS_TPU_FUSED_FRAMES_PER_TOKEN"] = "0.1"
+    try:
+        wfb, _ = model.infer_fused(2, text, emo)
+        assert len(wfb) == len(wav2p)
+    finally:
+        del os.environ["VITS_TPU_FUSED_FRAMES_PER_TOKEN"]
+
+
+def test_emovits_bf16_serving(deploy_dir):
+    """bf16 serving mode end-to-end: fp32 requests against bf16 params must
+    not be a trace error (inputs are cast in the jitted impls), across the
+    two-phase, fused, and streaming paths."""
+    d, synth, params = deploy_dir
+    from vits_tpu.infer import EmoVITS
+    model = EmoVITS(os.path.join(d, "checkpoint.npz"), compute_dtype=jnp.bfloat16,
+                    frame_quantum=16)
+    model32 = EmoVITS(os.path.join(d, "checkpoint.npz"))
+    rng = np.random.RandomState(31)
+    text = rng.randn(17, 16).astype(np.float32)
+    emo = rng.randn(1024).astype(np.float32)
+    np.random.seed(7)
+    wav, _ = model.infer(2, text, emo)
+    np.random.seed(7)
+    wav32, _ = model32.infer(2, text, emo)
+    assert wav.dtype == np.float32 and np.all(np.isfinite(wav))
+    assert wav.shape == wav32.shape
+    corr = np.corrcoef(wav, wav32)[0, 1]
+    assert corr > 0.98, corr
+    wavf, _ = model.infer_fused(2, text, emo)
+    assert np.all(np.isfinite(wavf))
+    np.random.seed(7)
+    streamed = np.concatenate(list(model.infer_stream(2, text, emo)))
+    np.testing.assert_allclose(streamed, wav, atol=1e-2)
+
+
 @pytest.fixture(scope="module")
 def deploy_dir_8k(tmp_path_factory):
     """Deployment whose native rate survives _parse_input's >=8000 Hz clamp,

@@ -122,3 +122,25 @@ def test_http_gateway(server):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_socket_client_cli(server, tmp_path):
+    """The ad-hoc client CLI (reference socket_client.py:39-109): text file in,
+    WAV files out, both one-shot and streaming protocols."""
+    from vits_tpu.serve import protocol
+    host, port = server
+    tf = tmp_path / "lines.txt"
+    tf.write_text("hello there\n\nsecond line\n", encoding="utf-8")
+    out1 = tmp_path / "out1"
+    protocol.main(["--host", host, "--port", str(port), "-t", str(tf),
+                   "-i", "1", "-o", str(out1)])
+    wavs = sorted(os.listdir(out1))
+    assert wavs == ["000001.wav", "000002.wav"]
+    data = (out1 / "000001.wav").read_bytes()
+    assert data[:4] == b"RIFF" and len(data) > 44
+
+    out2 = tmp_path / "out2"
+    protocol.main(["--host", host, "--port", str(port), "-u", "streamed hello",
+                   "-i", "1", "--stream", "-o", str(out2)])
+    data = (out2 / "000001.wav").read_bytes()
+    assert data[:4] == b"RIFF" and len(data) > 44

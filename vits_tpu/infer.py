@@ -64,6 +64,7 @@ class EmoVITS:
         if quantize is None:
             quantize = os.environ.get("VITS_TPU_QUANTIZE", "0") not in ("0", "", "false")
         self.quantize = bool(quantize)
+        self.compute_dtype = compute_dtype
         if checkpoint_path is None:
             checkpoint_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                            "..", "checkpoint", "checkpoint.npz")
@@ -113,6 +114,8 @@ class EmoVITS:
         rng = np.random.RandomState(12345)
         self.noise = (rng.randn(self.inter_channels * 4096) * self.noise_scale).astype(np.float32)
 
+        self._fused_cache = {}
+        self._fused_seed = 777
         self._p1 = jax.jit(self._infer_p1_impl)
         self._p2 = jax.jit(self._infer_p2_impl)
         self._p2q = jax.jit(self._infer_p2_q8_impl)
@@ -209,7 +212,11 @@ class EmoVITS:
 
     # ---------------- jitted phases ----------------
     def _infer_p1_impl(self, params, x, x_mask, emo, sid):
-        return self.synth.infer_p1(params, x, emo, sid, x_mask=x_mask)
+        # requests arrive as fp32 numpy; run the graph in the serving dtype
+        # (params are already cast — mixed-dtype convs are a trace error)
+        dt = self.compute_dtype
+        return self.synth.infer_p1(params, x.astype(dt), emo.astype(dt), sid,
+                                   x_mask=x_mask.astype(dt))
 
     def _infer_p2_impl(self, params, attn, m_p, s_p, g, noise, y_mask):
         return self.synth.infer_p2(params, attn, m_p, s_p, g, noise, y_mask=y_mask)
@@ -230,12 +237,13 @@ class EmoVITS:
 
     def _calib_impl(self, params, z, g, y_mask):
         """Per-request max-abs record of every quantizable conv input."""
-        return self.synth.dec.calibrate(params["dec"], z, g=g, x_mask=y_mask)
+        return self.synth.dec.calibrate(params["dec"], z, g=g,
+                                        x_mask=y_mask.astype(z.dtype))
 
     def _dec_chunk_impl(self, params, z_chunk, g, y_mask_chunk):
         """Masked decode of one latent window (streaming path)."""
         return self.synth.dec.apply(params["dec"], z_chunk, g=g,
-                                    x_mask=y_mask_chunk)
+                                    x_mask=y_mask_chunk.astype(z_chunk.dtype))
 
     def _q8_observe(self, attn_j, m_p, s_p, g, noise_j, y_mask_j):
         """Fold one request's activation statistics into the running record;
@@ -346,6 +354,50 @@ class EmoVITS:
         else:
             wav = self._p2(self.params, attn_j, m_p, s_p, g, noise_j, y_mask_j)
         wav = np.asarray(wav, np.float32)[0, :y_length * self.hop_size, 0]
+        return wav, emo_vec
+
+    def infer_fused(self, spkid: int, text: np.ndarray, emo=None, *,
+                    duration_rate: float = 1.0):
+        """Single-dispatch batch-1 synthesis (latency path): text encode,
+        duration predict, ON-DEVICE alignment (generate_path), flow reverse,
+        and decode in ONE jitted graph — no host round-trip between phases
+        (the reference's one-shot `infer`, models.py:517-556, vs the served
+        two-phase split). The frame budget is a static bucket estimated from
+        the text length (VITS_TPU_FUSED_FRAMES_PER_TOKEN, default 8); if the
+        predicted durations overflow it, the call transparently falls back to
+        the exact two-phase path. Noise comes from a per-call PRNG rather
+        than the shared noise ring, so waveforms differ from infer() by the
+        noise draw only."""
+        spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
+        x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
+        fpt = float(os.environ.get("VITS_TPU_FUSED_FRAMES_PER_TOKEN", "8"))
+        max_frames = self._quantize(
+            max(int(x_length * fpt * duration_rate), self.frame_quantum),
+            self.frame_quantum)
+        fn = self._fused_cache.get((x_pad, max_frames))
+        if fn is None:
+            synth, dt = self.synth, self.compute_dtype
+
+            def impl(params, rng, x, x_lengths, emo, sid, ns, ls):
+                o, _, y_mask, _ = synth.inference(
+                    params, rng, x.astype(dt), x_lengths, emo.astype(dt), sid,
+                    noise_scale=ns, length_scale=ls, max_frames=max_frames)
+                return o, jnp.sum(y_mask[0]).astype(jnp.int32)
+
+            fn = jax.jit(impl)
+            self._fused_cache[(x_pad, max_frames)] = fn
+        x = np.zeros((1, x_pad, self.text_channels), np.float32)
+        x[0, :x_length] = text[:x_pad]
+        self._fused_seed += 1
+        o, y_frames = fn(self.params, jax.random.PRNGKey(self._fused_seed),
+                         jnp.asarray(x), jnp.asarray([x_length], jnp.int32),
+                         jnp.asarray(emo_vec[None]),
+                         jnp.asarray([spkid], jnp.int32),
+                         np.float32(self.noise_scale), np.float32(duration_rate))
+        y_frames = int(y_frames)
+        if y_frames >= max_frames:  # frame budget clipped: exact 2-phase retry
+            return self.infer(spkid, text, emo, duration_rate=duration_rate)
+        wav = np.asarray(o, np.float32)[0, :y_frames * self.hop_size, 0]
         return wav, emo_vec
 
     def infer_stream(self, spkid: int, text: np.ndarray, emo=None, *,

@@ -734,10 +734,13 @@ class Synthesizer:
         y_lengths = jnp.minimum(y_lengths, max_frames)
         y_mask = sequence_mask(y_lengths, max_frames)[..., None].astype(x.dtype)
         attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)
-        attn = generate_path(w_ceil, attn_mask)
+        # scalars may arrive as fp32 arrays; keep the graph in the compute
+        # dtype (a promoted fp32 attn/z_p would poison the flow + decoder)
+        attn = generate_path(w_ceil, attn_mask).astype(x.dtype)
         m_p_e = jnp.einsum("byx,bxc->byc", attn, m_p)
         logs_p_e = jnp.einsum("byx,bxc->byc", attn, logs_p)
-        z_p = m_p_e + jax.random.normal(rng, m_p_e.shape, m_p_e.dtype) * jnp.exp(logs_p_e) * noise_scale
+        z_p = m_p_e + jax.random.normal(rng, m_p_e.shape, m_p_e.dtype) \
+            * jnp.exp(logs_p_e) * jnp.asarray(noise_scale, m_p_e.dtype)
         z = self.flow.apply(p["flow"], z_p, y_mask, g=g, reverse=True)
         o = self.dec.apply(p["dec"], z * y_mask, g=g, x_mask=y_mask)
         return o, attn, y_mask, (z, z_p, m_p_e, logs_p_e)

@@ -153,6 +153,36 @@ def save_all(hps, state, epoch: int):
                              step=step, epoch=epoch)
 
 
+# Cached jitted eval graphs, keyed on (synth config, text bucket, max_frames):
+# on-chip evals must not dispatch hundreds of ops eagerly through the relay
+# (VERDICT r2 task 6), and bucketing the text length keeps one compile across
+# evals of different utterances.
+_EVAL_JIT = {}
+_EVAL_TEXT_BUCKET = 32
+
+
+def _eval_graph(synth, hps, t_bucket, max_frames):
+    key = (id(synth), t_bucket, max_frames)
+    fn = _EVAL_JIT.get(key)
+    if fn is None:
+        d = hps.data
+
+        def graph(p, rng, x, x_lengths, emo, sid, noise_scale):
+            o, attn, y_mask, _ = synth.inference(
+                p, rng, x, x_lengths, emo, sid, noise_scale=noise_scale,
+                max_frames=max_frames)
+            # mel over the full static-length waveform; frames past y_len are
+            # sliced off on the host
+            mel = mel_spectrogram(o[..., 0], d.filter_length, d.n_mel_channels,
+                                  d.sampling_rate, d.hop_length, d.win_length,
+                                  d.mel_fmin, d.mel_fmax)
+            return o, mel, jnp.sum(y_mask[0]).astype(jnp.int32)
+
+        fn = jax.jit(graph)
+        _EVAL_JIT[key] = fn
+    return fn
+
+
 def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng,
              first: bool = False):
     """Rank-0 single-utterance eval synthesis (train.py:289-346).
@@ -168,15 +198,18 @@ def evaluate(hps, synth, gen_params, eval_dataset, writer, global_step, rng,
     x = jnp.asarray(item["vec"])[None]
     emo = jnp.asarray(item["emo"])[None]
     sid = jnp.asarray([item["sid"]], jnp.int32)
-    o, attn, y_mask, _ = synth.inference(
-        gen_params, rng, x, jnp.asarray([x.shape[1]], jnp.int32), emo, sid,
-        noise_scale=getattr(hps.data, "noise_scale", 1.0), max_frames=1000)
-    y_len = int(jnp.sum(y_mask[0])) * hps.data.hop_length
+    T_x = x.shape[1]
+    t_bucket = -(-T_x // _EVAL_TEXT_BUCKET) * _EVAL_TEXT_BUCKET
+    x = jnp.pad(x, ((0, 0), (0, t_bucket - T_x), (0, 0)))
+    fn = _eval_graph(synth, hps, t_bucket, 1000)
+    o, mel_full, y_frames = fn(gen_params, rng, x,
+                               jnp.asarray([T_x], jnp.int32), emo, sid,
+                               jnp.asarray(getattr(hps.data, "noise_scale", 1.0),
+                                           jnp.float32))
+    y_frames = int(y_frames)
+    y_len = y_frames * hps.data.hop_length
     wav = np.asarray(o[0, :y_len, 0], dtype=np.float32)
-    mel = np.asarray(mel_spectrogram(jnp.asarray(wav)[None], hps.data.filter_length,
-                                     hps.data.n_mel_channels, hps.data.sampling_rate,
-                                     hps.data.hop_length, hps.data.win_length,
-                                     hps.data.mel_fmin, hps.data.mel_fmax))[0]
+    mel = np.asarray(mel_full[0], dtype=np.float32)[:y_frames]
     gt_mel = np.asarray(spec_to_mel(jnp.asarray(item["spec"])[None],
                                     hps.data.filter_length, hps.data.n_mel_channels,
                                     hps.data.sampling_rate, hps.data.mel_fmin,
@@ -241,11 +274,20 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
     rng = jax.random.PRNGKey(t.seed + 17)
     t_last = time.time()
     audio_sec_acc = 0.0
+    input_wait_acc = 0.0
     first_eval = True
     for epoch in range(epoch_start, t.epochs + 1):
         lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
         lr_p = exponential_lr(1e-4, t.lr_decay, epoch)  # train.py:100-102,148
-        for batch in prefetcher.epoch(epoch):
+        batches = iter(prefetcher.epoch(epoch))
+        while True:
+            t_fetch = time.time()
+            batch = next(batches, None)
+            if batch is None:
+                break
+            # host wait on the input pipeline; compute is async-dispatched, so
+            # any nonzero wait here is genuine input stall
+            input_wait_acc += time.time() - t_fetch
             audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
             batch.pop("wav_lengths", None)
             # single-host: place the host-global batch sharded over `data`.
@@ -266,8 +308,10 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
                      if np.ndim(v) == 0}
                 dt = time.time() - t_last
                 m["audio_sec_per_s"] = audio_sec_acc / max(dt, 1e-9)
+                m["input_stall_pct"] = 100.0 * input_wait_acc / max(dt, 1e-9)
                 t_last = time.time()
                 audio_sec_acc = 0.0
+                input_wait_acc = 0.0
                 logger.info("step %d epoch %d lr %.6g | %s", global_step, epoch, lr,
                             {k: round(v, 5) for k, v in m.items()})
                 S.summarize(writer, global_step,
@@ -276,8 +320,17 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
                     log_cb(global_step, m)
             if is_main and global_step % t.eval_interval == 0:
                 rng, sub = jax.random.split(rng)
-                evaluate(hps, synth, jax.device_get(state["gen"]), eval_dataset,
-                         writer_eval, global_step, sub, first=first_eval)
+                t_eval = time.time()
+                # params are DP-replicated: take the local single-device
+                # replica (no host round-trip through the relay)
+                gen_local = jax.tree_util.tree_map(
+                    lambda a: a.addressable_data(0) if hasattr(a, "addressable_data") else a,
+                    state["gen"])
+                mel_l1 = evaluate(hps, synth, gen_local, eval_dataset,
+                                  writer_eval, global_step, sub, first=first_eval)
+                if mel_l1 is not None:
+                    logger.info("eval step %d mel_l1 %.4f wall %.2fs",
+                                global_step, mel_l1, time.time() - t_eval)
                 first_eval = False
                 save_all(hps, jax.device_get(state), epoch)
             if max_steps is not None and global_step >= max_steps:

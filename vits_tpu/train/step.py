@@ -163,9 +163,17 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                            jax.lax.stop_gradient(diff["mags_fake"])]
 
             def d_loss_fn(dp):
-                dpc = cast_p(dp)
-                y_d_r = disc.apply(dpc, y_slice_c, mags_real_c)
-                y_d_g = disc.apply(dpc, y_hat_sg_c, mags_fake_c)
+                # real+fake as ONE batched MRD pass (identical values, half
+                # the discriminator ops in the HLO — the stft-step compile
+                # scales with disc op count)
+                B = y_slice_c.shape[0]
+                both = disc.apply(
+                    cast_p(dp),
+                    jnp.concatenate([y_slice_c, y_hat_sg_c], axis=0),
+                    [jnp.concatenate([mr, mf], axis=0)
+                     for mr, mf in zip(mags_real_c, mags_fake_c)])
+                y_d_r = [s[:B] for s in both]
+                y_d_g = [s[B:] for s in both]
                 loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
                 return loss_disc, (r_losses, g_losses)
 
