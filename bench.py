@@ -128,9 +128,33 @@ def main():
         rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
         return aps, rtf, wav, dt
 
+    def run_fused_b1(dtype):
+        """Batch-1 latency via the fused single-dispatch graph (encode +
+        on-device alignment + flow + decode in one jit) — no p1->host->p2
+        round-trip. Same audio duration as the two-phase batch-1 RTF rows."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
+        params = cast(params32)
+        x1 = cast(inputs32["x"][:1])
+        emo1 = cast(inputs32["emo"][:1])
+        fused = jax.jit(lambda p, r, x, xl, e, s: synth.inference(
+            p, r, x.astype(dtype), xl, e, s,
+            noise_scale=hps.data.noise_scale, max_frames=T_y)[0])
+        ck = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32)))
+        args = (params, jax.random.PRNGKey(0), x1,
+                jnp.asarray([T_x], jnp.int32), emo1, sid[:1])
+        jax.device_get(ck(fused(*args)))
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            wav1 = fused(*args)
+        jax.device_get(ck(wav1))
+        return ((time.time() - t0) / iters) / (T_y * hop / sr)
+
     aps32, rtf32, wav32, dt32 = run_variant(jnp.float32)
     apsbf, rtfbf, wavbf, dtbf = run_variant(jnp.bfloat16)
     apsq8, rtfq8, wavq8, dtq8 = run_q8(jnp.bfloat16)
+    rtf_fused = run_fused_b1(jnp.bfloat16)
     # parity guards: reduced-precision waveforms must stay correlated w/ fp32
     corr = float(np.corrcoef(wav32.ravel(), wavbf.ravel())[0, 1])
     corr_q8 = float(np.corrcoef(wav32.ravel(), wavq8.ravel())[0, 1])
@@ -158,6 +182,7 @@ def main():
         "unit": "audio_sec/s",
         "vs_baseline": round(aps / 1.0, 2),
         "batch1_rtf": round(rtf, 5),
+        "batch1_rtf_fused_bf16": round(rtf_fused, 5),
         "mode": mode,
         "fp32_audio_sec_per_s": round(aps32, 2),
         "bf16_audio_sec_per_s": round(apsbf, 2),

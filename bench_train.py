@@ -62,6 +62,8 @@ def main():
     state, metrics = step(state, batch, jax.random.PRNGKey(0), 2e-4, 2e-4, 0.01)
     jax.device_get(metrics["loss_g_total"])
     compile_s = time.time() - t0
+    print(json.dumps({"event": "compiled", "compile_s": round(compile_s, 1)}),
+          flush=True)
 
     iters = 20
     t0 = time.time()

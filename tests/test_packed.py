@@ -97,3 +97,25 @@ def test_mask_packed_matches_unpacked():
     m = jnp.concatenate([jnp.ones((2, 20, 1)), jnp.zeros((2, 4, 1))], axis=1)
     got = unpack(mask_packed(pack(x, 4), m, 4), 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(x * m))
+
+
+def test_dilated_valid_conv_phased_matches_dense():
+    """MRD's phase-decomposed dilated VALID conv == the direct dilated conv,
+    for every dilation the WaveDiscriminator stack uses and ragged lengths."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vits_tpu.nn.core import Conv1d
+    from vits_tpu.models.mrd import dilated_valid_conv_phased
+
+    rng = np.random.RandomState(0)
+    for d in (2, 3, 5, 9):
+        for T in (257, 300, 9216 // 16):
+            conv = Conv1d(6, 8, 5, padding="VALID", dilation=d, spectral_norm=True)
+            p = conv.init_params(jax.random.PRNGKey(d))
+            x = jnp.asarray(rng.randn(2, T, 6).astype(np.float32))
+            want = conv.apply(p, x)
+            got = dilated_valid_conv_phased(conv, p, x)
+            assert got.shape == want.shape, (d, T, got.shape, want.shape)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=1e-5)

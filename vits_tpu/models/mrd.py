@@ -20,8 +20,11 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from vits_tpu.nn.core import Conv1d, Conv2d, leaky_relu
+
+_DN1 = ("NWC", "WIO", "NWC")
 
 LRELU_SLOPE = 0.2
 
@@ -55,10 +58,16 @@ class WaveDiscriminator:
         return {"convs": {str(i): c.init_params(ks[i]) for i, c in enumerate(convs)}}
 
     def apply(self, p, x):
-        """x: (B, T, in_channels) -> (B, T') score (no padding: VALID convs)."""
+        """x: (B, T, in_channels) -> (B, T') score (no padding: VALID convs).
+        Dilated middle layers run phase-decomposed (see
+        dilated_valid_conv_phased) — same values, dense convs on the MXU."""
         convs = self._convs()
         for i, conv in enumerate(convs):
-            x = conv.apply(p["convs"][str(i)], x)
+            pc = p["convs"][str(i)]
+            if conv.dilation > 1:
+                x = dilated_valid_conv_phased(conv, pc, x)
+            else:
+                x = conv.apply(pc, x)
             if i < len(convs) - 1:
                 x = leaky_relu(x, LRELU_SLOPE)
         return x[..., 0]
@@ -69,6 +78,32 @@ class WaveDiscriminator:
 def _lrelu_gain(slope=LRELU_SLOPE):
     import math
     return math.sqrt(2.0 / (1.0 + slope ** 2))
+
+
+def dilated_valid_conv_phased(conv, p, x):
+    """VALID conv with rhs dilation d, computed as d dense (dilation-1) convs
+    over the d phase streams folded into the batch dim.
+
+    y[t] = Σ_j x[t + j*d] w[j]; writing t = m*d + r, each output phase r is a
+    dense VALID conv over stream x[r::d] — identical numerics, but the TPU
+    executes standard convs instead of a dilated form it handles degenerately
+    (measured ~0.05% MFU for the MRD WaveDiscriminator stack's d=2..9 convs).
+    """
+    from vits_tpu.nn.core import wn_kernel
+    d, k = conv.dilation, conv.kernel_size
+    B, T, C = x.shape
+    T_out = T - (k - 1) * d
+    M = -(-T // d)  # phase-stream length (zero-pad tail; padded outputs are
+    x = jnp.pad(x, ((0, 0), (0, M * d - T), (0, 0)))     # sliced off below)
+    xp = x.reshape(B, M, d, C).transpose(0, 2, 1, 3).reshape(B * d, M, C)
+    w = wn_kernel(p)
+    y = lax.conv_general_dilated(xp, w, (1,), "VALID", dimension_numbers=_DN1)
+    C_out = y.shape[-1]
+    y = y.reshape(B, d, M - k + 1, C_out).transpose(0, 2, 1, 3)
+    y = y.reshape(B, (M - k + 1) * d, C_out)[:, :T_out]
+    if conv.bias:
+        y = y + p["b"]
+    return y
 
 
 @dataclasses.dataclass(frozen=True)

@@ -194,54 +194,64 @@ class VITSWrap:
             return [utt_id], texts
         return [f"{utt_id}-{k}" for k in range(len(texts))], texts
 
+    def _postprocess_rate(self, wav: np.ndarray, pitch: float,
+                          sampling_rate: int) -> np.ndarray:
+        """Pitch shift (the synthesis borrowed duration; resample restores
+        pitch), optional bandwidth-extension hook, then target-rate
+        conversion."""
+        if pitch != 1.0:
+            wav = resample(wav, orig_sr=int(self.default_sampling_rate / pitch),
+                           target_sr=self.default_sampling_rate)
+        sr = self.default_sampling_rate
+        if sampling_rate > sr and self.asv is not None:
+            wav, sr = self.asv.infer(wav[None], sr)
+            wav = np.squeeze(wav, axis=0)
+        if sampling_rate != sr:
+            wav = resample(wav, orig_sr=sr, target_sr=sampling_rate)
+        return wav
+
     def speaking(self, inputs: dict) -> dict:
+        """One-shot synthesis: split → frontend → synthesize → post-process
+        per segment, then pack a single WAV response with per-segment
+        timestamps and frontend/backend timing (reference response schema,
+        vits_wrap.py:168-218)."""
         (inputs, utt_id, utt_text, spkid, volume, speed, pitch,
          sampling_rate, tail_silence, emotion) = self._parse_input(inputs)
 
-        batch_utt_id, batch_utt_text = self._split_utt_text(utt_id, utt_text)
-        batch_wav, batch_wavlen = [], 0
-        segment_info, start_ms, end_ms = [], 0.0, 0.0
-        time_used_frontend, time_used_backend = 0.0, 0.0
-        for uid, text in zip(batch_utt_id, batch_utt_text):
-            start = time.time()
-            uid, utt_segtext, utt_vector = self.textparser(uid, text)
-            end = time.time()
-            time_used_frontend += end - start
-
-            start = end
-            wav, emotion = self.speecher.infer(spkid, utt_vector, emotion, duration_rate=speed)
-            batch_wavlen += len(wav)
-            if pitch != 1.0:
-                wav = resample(wav, orig_sr=int(self.default_sampling_rate / pitch),
-                               target_sr=self.default_sampling_rate)
-            sr = self.default_sampling_rate
-            if sampling_rate > sr and self.asv is not None:
-                wav, sr = self.asv.infer(wav[None], sr)
-                wav = np.squeeze(wav, axis=0)
-            if sampling_rate != sr:
-                wav = resample(wav, orig_sr=sr, target_sr=sampling_rate)
-            wav = np.clip(wav * volume * 32767, -32768, 32767).astype(np.int16)
+        ids, texts = self._split_utt_text(utt_id, utt_text)
+        pcm_parts, marks = [], []
+        native_samples = 0
+        frontend_s = backend_s = 0.0
+        cursor_ms = 0.0
+        for uid, seg_text in zip(ids, texts):
+            t0 = time.time()
+            uid, segtext, vec = self.textparser(uid, seg_text)
+            t1 = time.time()
+            wav, emotion = self.speecher.infer(spkid, vec, emotion,
+                                               duration_rate=speed)
+            native_samples += len(wav)
+            wav = self._postprocess_rate(wav, pitch, sampling_rate)
+            pcm = np.clip(wav * volume * 32767, -32768, 32767).astype(np.int16)
             if tail_silence > 0:
-                wav = np.pad(wav, (0, int(tail_silence * sampling_rate)))
-            batch_wav.append(wav)
-            time_used_backend += time.time() - start
+                pcm = np.pad(pcm, (0, int(tail_silence * sampling_rate)))
+            t2 = time.time()
+            frontend_s += t1 - t0
+            backend_s += t2 - t1
+            pcm_parts.append(pcm)
+            seg_ms = len(pcm) / sampling_rate * 1000
+            marks.append({"start_ms": cursor_ms, "end_ms": cursor_ms + seg_ms,
+                          "input_text": seg_text, "segtext": segtext.printer()})
+            cursor_ms += seg_ms
 
-            end_ms += len(wav) / sampling_rate * 1000
-            segment_info.append({
-                "start_ms": start_ms, "end_ms": end_ms,
-                "input_text": text, "segtext": utt_segtext.printer(),
-            })
-            start_ms = end_ms
-
-        rtf = (time_used_frontend + time_used_backend) / max(batch_wavlen / self.default_sampling_rate, 1e-9)
-        wav_bytes = b"".join(w.tobytes() for w in batch_wav)
+        payload = b"".join(p.tobytes() for p in pcm_parts)
         outputs = dict(inputs)
-        outputs["wav"] = wav_header(len(wav_bytes), sampling_rate, 16) + wav_bytes
+        outputs["wav"] = wav_header(len(payload), sampling_rate, 16) + payload
         outputs["sr"] = sampling_rate
-        outputs["segment_info"] = segment_info
-        outputs["time_used_frontend"] = time_used_frontend * 1000
-        outputs["time_used_backend"] = time_used_backend * 1000
-        outputs["rtf"] = rtf
+        outputs["segment_info"] = marks
+        outputs["time_used_frontend"] = frontend_s * 1000
+        outputs["time_used_backend"] = backend_s * 1000
+        outputs["rtf"] = (frontend_s + backend_s) / max(
+            native_samples / self.default_sampling_rate, 1e-9)
         return outputs
 
     def speaking_stream(self, inputs: dict):
@@ -297,16 +307,7 @@ class VITSWrap:
                 wav, emotion = self.speecher.infer(spkid, utt_vector, emotion,
                                                    duration_rate=speed)
                 batch_wavlen += len(wav)
-                if pitch != 1.0:
-                    wav = resample(wav, orig_sr=int(self.default_sampling_rate / pitch),
-                                   target_sr=self.default_sampling_rate)
-                sr = self.default_sampling_rate
-                if sampling_rate > sr and self.asv is not None:
-                    wav, sr = self.asv.infer(wav[None], sr)
-                    wav = np.squeeze(wav, axis=0)
-                if sampling_rate != sr:
-                    wav = resample(wav, orig_sr=sr, target_sr=sampling_rate)
-                yield emit(wav)
+                yield emit(self._postprocess_rate(wav, pitch, sampling_rate))
             if tail_silence > 0:
                 yield emit(np.zeros(int(tail_silence * sampling_rate), np.float32))
             time_used_backend += time.time() - start
