@@ -65,12 +65,19 @@ def main():
     print(json.dumps({"event": "compiled", "compile_s": round(compile_s, 1)}),
           flush=True)
 
-    iters = 20
-    t0 = time.time()
+    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    # per-iter sync: over the relay, queuing many donated-state steps with no
+    # intermediate syncs buffers gigabytes host-side; a scalar device_get per
+    # step keeps the pipeline honest and gives per-step wall times.
+    times = []
     for i in range(iters):
+        t0 = time.time()
         state, metrics = step(state, batch, jax.random.PRNGKey(i + 1), 2e-4, 2e-4, 0.01)
-    loss = float(jax.device_get(metrics["loss_g_total"]))
-    dt = (time.time() - t0) / iters
+        loss = float(jax.device_get(metrics["loss_g_total"]))
+        times.append(time.time() - t0)
+        print(json.dumps({"event": "step", "i": i, "s": round(times[-1], 3)}),
+              flush=True)
+    dt = float(np.median(times))
     audio_sec = float(np.sum(np.asarray(batch["spec_lengths"]))) * hop / hps.data.sampling_rate
 
     print(json.dumps({
@@ -86,7 +93,7 @@ def main():
         "step_flops": step_flops,
         "mfu_bf16": round(step_flops / dt / 197e12, 4) if step_flops else None,
         "backend": jax.default_backend(),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -80,11 +80,15 @@ def _finite_tree(t):
                if jnp.issubdtype(l.dtype, jnp.floating))
 
 
-def test_train_step_signature_stable():
-    """The output state's avals (incl. weak_type) must match the input state's,
-    or every real training run pays a second full XLA compile on step 2
-    (observed as ~150 s on the TPU relay for the base config)."""
-    step, state = build("mel", compute_dtype=jnp.bfloat16)
+@pytest.mark.parametrize("variant", ["mel", "stft"])
+def test_train_step_signature_stable(variant):
+    """The output state's avals (incl. weak_type) AND pytree treedef must
+    match the input state's, or every real training run retraces — through
+    the TPU relay that is a full recompile PER STEP (~150 s mel; the stft
+    variant hit exactly this via a per-call RAdamState NamedTuple class,
+    measured 194 s/step at batch 32x400 until optim.RAdamState was hoisted
+    to module level)."""
+    step, state = build(variant, compute_dtype=jnp.bfloat16)
     jstep = jax.jit(step)
     s1, m1 = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.01)
     _ = jstep(s1, make_batch(seed=2), jax.random.PRNGKey(2), 2e-4, 2e-4, 0.01)
@@ -103,6 +107,8 @@ def test_train_step_signature_stable():
         if v0 != v1
     ]
     assert not mismatches, mismatches
+    assert (jax.tree_util.tree_structure(s1)
+            == jax.tree_util.tree_structure(state)), "state treedef changed"
     assert jstep._cache_size() == 1, "train step retraced between steps"
 
 

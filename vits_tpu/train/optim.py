@@ -18,15 +18,22 @@ import jax.numpy as jnp
 import optax
 
 
+class RAdamState(NamedTuple):
+    # module-level on purpose: pytree treedefs compare node CLASS identity,
+    # and inject_hyperparams re-invokes the transformation factory on every
+    # update — a class defined inside scale_by_radam_rect would be a fresh
+    # type per step, so the output opt-state's treedef would never equal the
+    # input's and every jitted train step would silently retrace+recompile
+    # (observed as ~190 s/step for the stft variant on the TPU relay).
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
 def scale_by_radam_rect(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
     """Rectified Adam (radam.py semantics: variance rectification with SMA
     threshold 5, momentum-SGD fallback below it, decoupled weight decay is
     applied by the caller)."""
-
-    class RAdamState(NamedTuple):
-        count: jnp.ndarray
-        mu: optax.Updates
-        nu: optax.Updates
 
     def init_fn(params):
         return RAdamState(
