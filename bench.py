@@ -128,6 +128,67 @@ def main():
         rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
         return aps, rtf, wav, dt
 
+    def run_b1_e2e(dtype):
+        """HONEST two-phase batch-1 latency: p1 dispatch -> host fetch of the
+        predicted durations (a real relay round-trip — the cost the plain
+        batch1_rtf rows exclude by precomputing attn) -> host alignment build
+        -> p2 dispatch -> full waveform fetch (serving returns audio to the
+        host). This is what EmoVITS.infer() actually does per request."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
+        params = cast(params32)
+        x1 = cast(inputs32["x"][:1])
+        emo1 = cast(inputs32["emo"][:1])
+        noise1 = cast(inputs32["noise"][:1])
+        p1 = jax.jit(lambda p, x, e, s: synth.infer_p1(p, x, e, s))
+        p2 = jax.jit(lambda p, a, m, s, g, n: synth.infer_p2(p, a, m, s, g, n))
+
+        def once():
+            m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+            w = np.exp(np.asarray(logw, np.float32))[0, :, 0]  # host sync
+            w_ceil = np.ceil(np.minimum(w, 1.0)) * (T_y // T_x)  # pin audio len
+            attn = infer_path(jnp.asarray(w_ceil[None], np.float32), T_y).astype(dtype)
+            return np.asarray(p2(params, attn, m_p, s_p, g, noise1), np.float32)
+
+        once()  # warm
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            wav = once()
+        dt = (time.time() - t0) / iters
+        return dt / (T_y * hop / sr)
+
+    def run_b1_stream_ttfa(dtype, chunk=64, halo=24):
+        """Streaming time-to-first-audio: p1 -> host durations sync -> latent
+        -> decode of the FIRST window only -> first chunk on the host
+        (EmoVITS.infer_stream's first yield)."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
+        params = cast(params32)
+        x1 = cast(inputs32["x"][:1])
+        emo1 = cast(inputs32["emo"][:1])
+        noise1 = cast(inputs32["noise"][:1])
+        attn1 = cast(attn32[:1])
+        p1 = jax.jit(lambda p, x, e, s: synth.infer_p1(p, x, e, s))
+        latent = jax.jit(lambda p, a, m, s, g, n: synth.flow.apply(
+            p["flow"], jnp.einsum("byx,bxc->byc", a, m) + n * jnp.einsum(
+                "byx,bxc->byc", a, s), None, g=g, reverse=True))
+        dec_chunk = jax.jit(lambda p, z, g: synth.dec.apply(p["dec"], z, g=g))
+
+        def once():
+            m_p, s_p, logw, g = p1(params, x1, emo1, sid[:1])
+            np.asarray(logw, np.float32)  # host durations sync
+            z = latent(params, attn1, m_p, s_p, g, noise1)
+            seg = dec_chunk(params, z[:, :chunk + halo], g)
+            return np.asarray(seg, np.float32)[0, :chunk * hop, 0]
+
+        once()  # warm
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            once()
+        return (time.time() - t0) / iters
+
     def run_fused_b1(dtype):
         """Batch-1 latency via the fused single-dispatch graph (encode +
         on-device alignment + flow + decode in one jit) — no p1->host->p2
@@ -155,6 +216,8 @@ def main():
     apsbf, rtfbf, wavbf, dtbf = run_variant(jnp.bfloat16)
     apsq8, rtfq8, wavq8, dtq8 = run_q8(jnp.bfloat16)
     rtf_fused = run_fused_b1(jnp.bfloat16)
+    rtf_e2e = run_b1_e2e(jnp.bfloat16)
+    ttfa_s = run_b1_stream_ttfa(jnp.bfloat16)
     # parity guards: reduced-precision waveforms must stay correlated w/ fp32
     corr = float(np.corrcoef(wav32.ravel(), wavbf.ravel())[0, 1])
     corr_q8 = float(np.corrcoef(wav32.ravel(), wavq8.ravel())[0, 1])
@@ -183,6 +246,8 @@ def main():
         "vs_baseline": round(aps / 1.0, 2),
         "batch1_rtf": round(rtf, 5),
         "batch1_rtf_fused_bf16": round(rtf_fused, 5),
+        "batch1_rtf_e2e_bf16": round(rtf_e2e, 5),
+        "batch1_stream_ttfa_ms": round(ttfa_s * 1e3, 2),
         "mode": mode,
         "fp32_audio_sec_per_s": round(aps32, 2),
         "bf16_audio_sec_per_s": round(apsbf, 2),

@@ -2,8 +2,11 @@
 """Training-step benchmark (BASELINE config 3): full GAN step on 1 chip —
 MAS + flows + HiFi-GAN adversarial + mel loss on the base config.
 
-Prints one JSON line: step time, steps/s, and audio-seconds/s of training
-throughput. Not invoked by the driver (bench.py is); used for perf tracking.
+Emits a JSON event stream: one "compiled" event (compile wall time), one
+"step" event per timed iteration (per-step wall, synced via a scalar
+device_get), then a final summary line with the median step time, steps/s,
+audio-seconds/s, and MFU. Not invoked by the driver (bench.py is); used for
+perf tracking.
 """
 
 import json

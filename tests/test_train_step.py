@@ -39,38 +39,19 @@ def make_batch(B=2, T_x=11, T_y=24, seed=0):
 
 
 def build(variant="mel", use_dur_dis=False, compute_dtype=jnp.float32):
+    from vits_tpu.utils.tiny import init_gan_state, tiny_mrd_disc, tiny_step_config
     synth = Synthesizer(**TINY)
-    cfg = TrainStepConfig(
-        variant=variant, segment_frames=TINY["segment_size"], hop_length=HOP,
-        filter_length=64, win_length=64, n_mel_channels=20, sampling_rate=1600,
-        use_dur_dis=use_dur_dis, mas_impl="scan", compute_dtype=compute_dtype,
-        resolutions=((64, 16, 64), (32, 8, 32)),
-    )
+    cfg = tiny_step_config(variant, use_dur_dis=use_dur_dis,
+                           compute_dtype=compute_dtype)
     if variant == "mel":
         disc = MultiPeriodDiscriminator(periods=(2, 3))
     else:
-        disc = MultiWaveSTFTDiscriminator(
-            num_dwt=2, wave_layers=4,
-            fft_sizes=(64, 32), hop_sizes=(16, 8), win_sizes=(64, 32),
-            stft_num_layers=(3, 3), stft_kernel_sizes=(3, 3),
-            stft_conv_channels=(8, 8))
+        disc = tiny_mrd_disc()
     gen_opt = Optimizer("adamw", (0.8, 0.99), 1e-9, 0.01)
     disc_opt = Optimizer("adamw" if variant == "mel" else "radam", (0.8, 0.99), 1e-9, 0.0)
     dur_disc = DurationDiscriminator(TINY["hidden_channels"], 8, 5) if use_dur_dis else None
     dur_opt = Optimizer("adamw", (0.8, 0.99), 1e-9, 0.0) if use_dur_dis else None
-
-    key = jax.random.PRNGKey(0)
-    kg, kd, kp = jax.random.split(key, 3)
-    state = {
-        "gen": synth.init_params(kg),
-        "disc": disc.init_params(kd),
-        "step": jnp.zeros((), jnp.int32),
-    }
-    state["gen_opt"] = gen_opt.init(state["gen"])
-    state["disc_opt"] = disc_opt.init(state["disc"])
-    if use_dur_dis:
-        state["dur"] = dur_disc.init_params(kp)
-        state["dur_opt"] = dur_opt.init(state["dur"])
+    state = init_gan_state(synth, disc, gen_opt, disc_opt, dur_disc, dur_opt)
     step = make_train_step(synth, disc, cfg, gen_opt, disc_opt, dur_disc, dur_opt)
     return step, state
 

@@ -294,7 +294,17 @@ class ResBlock2:
     def apply_q8(self, qp, x, g, pack=1, x_mask=None):
         """int8 forward (serving mode): convs run s8×s8→s32 on the MXU with
         calibrated activation scales; GLU gates and residuals stay in the
-        activation dtype. pack must match quantize_params."""
+        activation dtype. pack must match quantize_params.
+
+        Measured fusion note (BASELINE.md roofline, 2026-08-21): keeping the
+        conv epilogue SIMPLE (dequant→bf16 in conv1d_q8) lets XLA fuse it
+        into the convolution, and the gate + the next conv's quantize_act
+        fuse into one elementwise pass. Folding the gate+requant INTO the
+        conv epilogue instead (a conv1d_q8→int8 variant with an activation
+        closure) was tried and made the stages ~50% SLOWER — the complex
+        epilogue defeats conv output fusion and the s32 accumulator
+        materializes in HBM. Don't refactor this into a fused-epilogue form
+        without re-measuring per-stage times on the chip."""
         half = self.inter_channels // 2
         for i, d in enumerate(self.dilation):
             q1, q2 = qp[f"c1_{i}"], qp[f"c2_{i}"]

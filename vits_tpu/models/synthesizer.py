@@ -395,7 +395,8 @@ class Generator:
             p_prev = want
         return tuple(packs)
 
-    def apply(self, p, x, g=None, x_mask=None, packed=True, record=None, q8=False):
+    def apply(self, p, x, g=None, x_mask=None, packed=True, record=None, q8=False,
+              stages=None):
         """x: (B, T, initial); optional frame mask (B, T, 1) upsampled per
         stage so padded inference == exact-length inference. Returns
         (B, T * prod(rates), 1) waveform in (-1, 1).
@@ -406,7 +407,10 @@ class Generator:
         q8=True runs the full decoder conv stack in int8 — conv_pre, the
         length-preserving upsample transposed convs, the resblock convs, and
         conv_post (p must come from quantize; speaker-cond Dense stays
-        float)."""
+        float). stages=n runs only the first n upsample stages and returns
+        the (possibly packed) intermediate — profiling hook
+        (scripts/profile_infer*.py time per-stage prefixes of the REAL
+        graph)."""
         if q8:
             packed = True  # quantized kernels are pre-packed per the schedule
         if record is not None:
@@ -422,7 +426,7 @@ class Generator:
         m = x_mask
         packs = self._pack_schedule() if packed else (1,) * self.num_upsamples
         p_cur = 1
-        for i in range(self.num_upsamples):
+        for i in range(self.num_upsamples if stages is None else stages):
             x = leaky_relu(x, LRELU_SLOPE)
             p_i = packs[i]
             if m is not None:
@@ -461,6 +465,8 @@ class Generator:
                     xs = xs + rb.apply(p["resblocks"][str(idx)], x, g, x_mask=m,
                                        record=record, rec_prefix=f"rb{idx}_")
             x = xs / self.num_kernels
+        if stages is not None and stages < self.num_upsamples:
+            return x  # profiling prefix: packed intermediate, no conv_post
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (models.py:315)
         ch_last = self.upsample_initial_channel // (2 ** self.num_upsamples)
         post = Conv1d(ch_last, 1, 7, padding=3, bias=False)

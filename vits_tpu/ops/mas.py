@@ -203,7 +203,9 @@ def maximum_path(neg_cent, mask, impl: str = "auto"):
     neg_cent: (B, T_y, T_x); mask: (B, T_y, T_x) 0/1. Returns float path.
     """
     t_ys, t_xs = mask_to_lengths(mask)
-    neg_cent = neg_cent * mask + NEG_INF * (1.0 - mask) * 0.0  # keep raw values; band handled internally
+    # Zero out-of-band cells (defensive: the DP's internal band logic never
+    # reads them, so this only normalizes padding garbage to 0).
+    neg_cent = neg_cent * mask
     if impl == "auto":
         try:
             impl = "pallas" if (jax.default_backend() not in ("cpu",) and _HAS_PALLAS) else "scan"
