@@ -74,6 +74,46 @@ def test_align_noise_schedule():
     assert align_noise_at(hps, 10_000) == 1e-4
 
 
+def test_log_train_summaries_reference_tags():
+    """log_train_summaries emits the reference scalar/image tag set
+    (train.py:253-276): per-sub-disc indexed losses + the 4 images."""
+    from vits_tpu.train.loop import log_train_summaries
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars, self.images = {}, {}
+        def add_scalar(self, tag, v, step):
+            self.scalars[tag] = v
+        def add_image(self, tag, img, step):
+            self.images[tag] = img
+        def add_audio(self, *a, **k):
+            pass
+
+    m = {
+        "loss_g_total": 1.0, "loss_disc": 2.0, "loss_fm": 0.5, "loss_mel": 3.0,
+        "loss_dur": 0.1, "loss_kl": 0.2, "loss_kl_q": 0.01,
+        "grad_norm_d": 4.0, "grad_norm_g": 5.0,
+        "losses_g": np.array([0.1, 0.2]), "losses_d_r": np.array([0.3, 0.4]),
+        "losses_d_g": np.array([0.5, 0.6]),
+        "viz_mel_org": np.random.rand(8, 20).astype(np.float32),
+        "viz_mel_gen": np.random.rand(8, 20).astype(np.float32),
+        "viz_mel_all": np.random.rand(24, 20).astype(np.float32),
+        "viz_attn": np.eye(12, 5, dtype=np.float32),
+        "audio_sec_per_s": 100.0,
+    }
+    w = FakeWriter()
+    scalars, images = log_train_summaries(w, 10, m, lr=2e-4)
+    for tag in ["loss/g/total", "loss/d/total", "loss/g/fm", "loss/g/mel",
+                "loss/g/dur", "loss/g/kl", "loss/g/kl_q", "learning_rate",
+                "grad_norm_d", "grad_norm_g",
+                "loss/g/0", "loss/g/1", "loss/d_r/0", "loss/d_r/1",
+                "loss/d_g/0", "loss/d_g/1", "audio_sec_per_s"]:
+        assert tag in w.scalars, tag
+    assert w.scalars["loss/d_r/1"] == pytest.approx(0.4)
+    for tag in ["slice/mel_org", "slice/mel_gen", "all/mel", "all/attn"]:
+        assert tag in w.images and w.images[tag].ndim == 3, tag
+
+
 def test_tiny_training_run(tmp_path):
     train_scp, valid_scp = make_corpus(tmp_path)
     hps = make_hps(tmp_path, train_scp, valid_scp)

@@ -110,6 +110,17 @@ def test_train_step_runs_and_updates(variant):
     assert max(jax.tree_util.tree_leaves(delta)) > 0
     assert int(s2["step"]) == 2
     assert float(m1["loss_disc"]) > 0 and float(m1["loss_g_total"]) > 0
+    # observability outputs (train.py:253-276 parity): per-sub-discriminator
+    # loss vectors + element-0 viz tensors for the image summaries
+    n_sub = m1["losses_d_r"].shape[0]
+    assert m1["losses_d_g"].shape == (n_sub,) and m1["losses_g"].shape == (n_sub,)
+    assert m1["viz_attn"].ndim == 2  # (T_y, T_x)
+    assert m1["viz_mel_org"].shape == m1["viz_mel_gen"].shape  # (seg_frames, n_mel)
+    assert m1["viz_mel_org"].shape == (8, 20)
+    if variant == "mel":
+        assert m1["viz_mel_all"].shape[1] == 20  # full-length GT mel
+    else:
+        assert "viz_mel_all" not in m1  # train_stft.py logs slice mels + attn only
 
 
 def test_train_step_dur_disc():
@@ -118,6 +129,8 @@ def test_train_step_dur_disc():
     s1, m1 = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.0)
     assert np.isfinite(float(m1["loss_disc_p"]))
     assert np.isfinite(float(m1["loss_gen_p"]))
+    # per-sub dur-disc losses (reference loss/p_r/{i}, loss/p_g/{i}, loss/p/{i})
+    assert m1["losses_p_r"].shape == m1["losses_p_g"].shape == m1["losses_p"].shape
     delta = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                    state["dur"], s1["dur"])
     assert max(jax.tree_util.tree_leaves(delta)) > 0

@@ -201,8 +201,9 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 d_r, d_g = dur_disc.apply(pp, x_hidden_sg, aux["x_mask"],
                                           aux["logw_"], logw_pred_sg)
                 loss_p, pr, pg = L.discriminator_loss(d_r, d_g)
-                return loss_p
-            loss_disc_p, p_grads = jax.value_and_grad(p_loss_fn)(state["dur"])
+                return loss_p, (pr, pg)
+            (loss_disc_p, (losses_p_r, losses_p_g)), p_grads = \
+                jax.value_and_grad(p_loss_fn, has_aux=True)(state["dur"])
             p_grads, grad_norm_p = clip_grad_value(p_grads, None)
             # P lr is a runtime scalar: base 1e-4 decayed per epoch by the
             # caller (reference train.py:100-102 AdamW(1e-4) + scheduler_p,
@@ -236,6 +237,12 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 loss_gen, gen_losses = L.generator_loss(y_d_g)
                 loss_all = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl + loss_kl_q
                 metrics.update({"loss_mel": loss_mel, "loss_fm": loss_fm})
+                # training-time image summaries (train.py:266-276): element-0
+                # mel slices + the full GT mel; tensors only — the host plots
+                # at log steps (loop.log_train_summaries)
+                metrics["viz_mel_org"] = jax.lax.stop_gradient(y_mel[0])
+                metrics["viz_mel_gen"] = jax.lax.stop_gradient(y_hat_mel[0])
+                metrics["viz_mel_all"] = jax.lax.stop_gradient(mel_full[0])
             else:
                 mags_fake = diff_outs["mags_fake"]
                 sc_loss, mag_loss = L.multi_resolution_stft_losses(
@@ -246,15 +253,27 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 loss_gen, gen_losses = L.generator_loss(y_d_g)
                 loss_all = loss_gen + loss_stft + loss_dur + loss_kl + loss_kl_q
                 metrics.update({"loss_stft": loss_stft})
+                # viz mels on element 0 only (train_stft.py:173-191 computes
+                # them on [:1] purely for the image summaries)
+                from vits_tpu.ops.seq import slice_segments
+                mel_1 = spec_to_mel(batch["spec"][:1].astype(jnp.float32),
+                                    cfg.filter_length, cfg.n_mel_channels,
+                                    cfg.sampling_rate, cfg.mel_fmin, cfg.mel_fmax)
+                y_mel_1 = slice_segments(mel_1, ids[:1], cfg.segment_frames)
+                y_hat_mel_1 = mel_of(y_hat_g[:1, :, 0])
+                metrics["viz_mel_org"] = jax.lax.stop_gradient(y_mel_1[0])
+                metrics["viz_mel_gen"] = jax.lax.stop_gradient(y_hat_mel_1[0])
             if cfg.use_dur_dis and dur_disc is not None:
                 _, d_g = dur_disc.apply(new_dur, diff_outs["x_hidden"], aux["x_mask"],
                                         aux["logw_"], diff_outs["logw"])
-                loss_gen_p, _ = L.generator_loss(d_g)
+                loss_gen_p, losses_gen_p = L.generator_loss(d_g)
                 loss_all = loss_all + loss_gen_p
                 metrics["loss_gen_p"] = loss_gen_p
+                metrics["losses_p"] = jnp.stack(losses_gen_p)
             metrics.update({"loss_gen": loss_gen, "loss_dur": loss_dur,
                             "loss_kl": loss_kl, "loss_kl_q": loss_kl_q,
                             "loss_g_total": loss_all})
+            metrics["losses_g"] = jnp.stack(gen_losses)
             return loss_all, metrics
 
         (loss_g, g_metrics), diff_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(diff)
@@ -277,6 +296,12 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                         "grad_norm_p": grad_norm_p})
         metrics["losses_d_r"] = jnp.stack(losses_d_r)
         metrics["losses_d_g"] = jnp.stack(losses_d_g)
+        if cfg.use_dur_dis and dur_disc is not None:
+            metrics["losses_p_r"] = jnp.stack(losses_p_r)
+            metrics["losses_p_g"] = jnp.stack(losses_p_g)
+        # element-0 MAS alignment (train.py:274 `all/attn` — the de-facto
+        # MAS-health signal); (T_y, T_x) hard path
+        metrics["viz_attn"] = aux["attn"][0]
         return new_state, metrics
 
     return train_step

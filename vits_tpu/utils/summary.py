@@ -59,6 +59,18 @@ class SummaryWriter:
     def add_image(self, tag, img_hwc, step):
         if self._tb:
             self._tb.add_image(tag, img_hwc, step, dataformats="HWC")
+        else:
+            # JSONL fallback: record the event and drop the rendered PNG
+            # beside the log so image summaries aren't silently lost
+            fn = f"img_{tag.replace('/', '_')}_{int(step)}.npy"
+            path = os.path.join(os.path.dirname(self._jsonl.name), fn)
+            try:
+                np.save(path, np.asarray(img_hwc))
+            except OSError:
+                fn = None
+            self._jsonl.write(json.dumps({"t": time.time(), "step": int(step),
+                                          "tag": tag, "image": fn}) + "\n")
+            self._jsonl.flush()
 
     def add_audio(self, tag, audio, step, sample_rate):
         if self._tb:
@@ -87,12 +99,12 @@ def _fig_to_numpy(fig):
 
 
 def plot_spectrogram_to_numpy(spectrogram: np.ndarray) -> np.ndarray:
-    """spectrogram: (C, T) or (T, C) — plotted frames-x, channels-y."""
+    """spectrogram: (C, T) — plotted frames-x, channels-y (utils.py:81-105).
+    Callers holding channel-last (T, C) mels pass `.T` (a shape heuristic
+    here would mis-orient short slices where T < C)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pylab as plt
-    if spectrogram.shape[0] > spectrogram.shape[1]:
-        spectrogram = spectrogram.T
     fig, ax = plt.subplots(figsize=(10, 2))
     im = ax.imshow(spectrogram, aspect="auto", origin="lower", interpolation="none")
     plt.colorbar(im, ax=ax)
