@@ -104,6 +104,33 @@ def test_dataset_and_sampler(tmp_path):
         assert np.all(b["spec_lengths"] <= b["spec"].shape[1])
 
 
+def test_wav_meta_header_only(tmp_path):
+    """wav_meta returns (samples, sr) from the header; matches the decode."""
+    from vits_tpu.utils.audio import load_wav_norm, wav_meta
+    rng = np.random.RandomState(3)
+    wav = rng.uniform(-0.9, 0.9, 12345).astype(np.float32)
+    fn = str(tmp_path / "m.wav")
+    write_wav(fn, wav, 16000)
+    n, sr = wav_meta(fn)
+    x, sr2 = load_wav_norm(fn)
+    assert (n, sr) == (len(x), sr2) == (12345, 16000)
+
+
+def test_prefetcher_static_text_pad_per_bucket(tmp_path):
+    """All batches of a bucket share ONE text shape (jit shape count is
+    bounded by bucket count, not buckets x batch-max text pads)."""
+    scp = make_corpus(tmp_path, n=16)
+    ds = TextAudioSpeakerDataset(scp, make_hps())
+    assert len(ds.text_lengths) == len(ds)
+    sampler = BucketSampler(ds.lengths, batch_size=2, boundaries=[32, 60, 90, 130])
+    pf = Prefetcher(ds, sampler, workers=4)
+    shapes = {}
+    for (bi, _), b in zip(sampler.epoch_batches(0), pf.epoch(0)):
+        shapes.setdefault(bi, set()).add(b["x"].shape[1])
+        assert np.all(b["x_lengths"] <= b["x"].shape[1])
+    assert shapes and all(len(s) == 1 for s in shapes.values()), shapes
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": {"b": jnp.arange(6.0).reshape(2, 3), "c": jnp.zeros((4,))},
             "d": [jnp.ones((2,)), jnp.full((3,), 2.0)]}

@@ -19,14 +19,12 @@ Capability parity with the reference data_utils.py:
 from __future__ import annotations
 
 import os
-import threading
-import queue as queue_mod
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from vits_tpu.utils.audio import load_wav_norm, spectrogram_np
+from vits_tpu.utils.audio import load_wav_norm, spectrogram_np, wav_meta
 
 
 def load_filepaths_and_sid(filename: str, split: str = "|") -> List[List[str]]:
@@ -60,25 +58,29 @@ class TextAudioSpeakerDataset:
         order = rng.permutation(len(self.items))
         self.items = [self.items[i] for i in order]
         self.lengths = [self.lengths[i] for i in order]
+        self.text_lengths = [self.text_lengths[i] for i in order]
 
     def _filter(self):
         """Length filters + spec-frame lengths for bucketing
-        (data_utils.py:39-56). Uses file sizes instead of loading payloads."""
-        kept, lengths = [], []
+        (data_utils.py:39-56). Header-only: file sizes for the .vec features
+        and wav_meta for the audio — no payload decode, so init is O(corpus
+        entries), not O(corpus bytes)."""
+        kept, lengths, text_lengths = [], [], []
         for entry in self.items:
             vecfn, wavfn = entry[0], entry[1]
             try:
                 vec_len = os.path.getsize(vecfn) // (4 * self.text_channels)
-                wav, _ = load_wav_norm(wavfn)
-                wav_len = len(wav)
-            except OSError:
+                wav_len, _ = wav_meta(wavfn)
+            except (OSError, ValueError):
                 continue
             if self.min_text_len < vec_len < self.max_text_len and \
                self.min_wav_len < wav_len < self.max_wav_len:
                 kept.append(entry)
                 lengths.append(wav_len // self.hop_length)
+                text_lengths.append(vec_len)
         self.items = kept
         self.lengths = lengths
+        self.text_lengths = text_lengths
 
     def __len__(self):
         return len(self.items)
@@ -222,40 +224,75 @@ def quantize_text_len(n: int, quantum: int = 32, cap: int = 384) -> int:
 
 
 class Prefetcher:
-    """Background-thread batch producer (replaces torch DataLoader workers)."""
+    """Thread-pool batch producer (replaces torch DataLoader's 8 workers/rank,
+    train.py:63): several batches build concurrently (wav decode + spectrogram
+    release the GIL in numpy/native code) and are yielded in sampler order.
+
+    Text padding is STATIC PER BUCKET (the max text length over the bucket's
+    utterances, quantized) rather than per-batch-max: the jit shape count is
+    bounded by the bucket count instead of the buckets × text-pads
+    cross-product, which on the relay (30-200 s per compile) dominates
+    first-epoch wall time."""
 
     def __init__(self, dataset, sampler: BucketSampler, text_quantum: int = 32,
-                 depth: int = 2, transform=None):
+                 depth: int = 2, transform=None, workers: int = 8):
         self.dataset = dataset
         self.sampler = sampler
         self.text_quantum = text_quantum
         self.depth = depth
         self.transform = transform
+        self.workers = max(1, workers)
+        self._bucket_text_pad = None
+
+    def _text_pads(self):
+        """bucket_idx -> static text pad (None when the dataset has no
+        text-length metadata; collate then falls back to the batch max)."""
+        if self._bucket_text_pad is None:
+            tl = getattr(self.dataset, "text_lengths", None)
+            pads = {}
+            for bi, bucket in enumerate(self.sampler.buckets):
+                if tl and bucket:
+                    mx = max(tl[i] for i in bucket)
+                    pads[bi] = max(quantize_text_len(mx, self.text_quantum,
+                                                     self.dataset.max_text_len),
+                                   self.text_quantum)
+                else:
+                    pads[bi] = None
+            self._bucket_text_pad = pads
+        return self._bucket_text_pad
+
+    def _build(self, bi: int, idxs: List[int]):
+        samples = [self.dataset[i] for i in idxs]
+        text_pad = self._text_pads().get(bi)
+        if text_pad is None:
+            text_pad = max(quantize_text_len(max(s["vec"].shape[0] for s in samples),
+                                             self.text_quantum, self.dataset.max_text_len),
+                           self.text_quantum)
+        spec_pad = self.sampler.bucket_upper_bound(bi)
+        b = collate(samples, text_pad, spec_pad, self.dataset.hop_length)
+        if self.transform is not None:
+            b = self.transform(b)
+        return b
 
     def epoch(self, epoch: int):
-        """Yields collated numpy batches for this epoch."""
+        """Yields collated numpy batches for this epoch, in sampler order."""
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = self.sampler.epoch_batches(epoch)
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
-        stop = object()
-
-        def producer():
-            try:
-                for bi, idxs in batches:
-                    samples = [self.dataset[i] for i in idxs]
-                    text_pad = max(quantize_text_len(max(s["vec"].shape[0] for s in samples),
-                                                     self.text_quantum, self.dataset.max_text_len), self.text_quantum)
-                    spec_pad = self.sampler.bucket_upper_bound(bi)
-                    b = collate(samples, text_pad, spec_pad, self.dataset.hop_length)
-                    if self.transform is not None:
-                        b = self.transform(b)
-                    q.put(b)
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        window = self.depth + self.workers
+        ex = ThreadPoolExecutor(max_workers=self.workers,
+                                thread_name_prefix="vits-prefetch")
+        try:
+            pending = deque()
+            it = iter(batches)
+            for bi, idxs in itertools.islice(it, window):
+                pending.append(ex.submit(self._build, bi, idxs))
+            for bi, idxs in it:
+                yield pending.popleft().result()
+                pending.append(ex.submit(self._build, bi, idxs))
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)

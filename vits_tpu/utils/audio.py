@@ -91,6 +91,45 @@ def wav_header(data_len: int, sample_rate: int, bits: int = 16, channels: int = 
             + b"data" + struct.pack("<I", data_len))
 
 
+def wav_meta(path: str) -> Tuple[int, int]:
+    """(n_mono_samples, sample_rate) from the WAV header only — no payload
+    decode (native.wav_samples when built, else chunk-header seeks). Used by
+    dataset length filtering, where decoding every corpus wav at init is an
+    O(corpus-bytes) startup cost."""
+    try:
+        from vits_tpu import native
+        out = native.wav_samples(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            ch = f.read(8)
+            if len(ch) < 8:
+                break
+            cid, size = ch[:4], struct.unpack("<I", ch[4:8])[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                f.seek(size - 16 + (size & 1), 1)
+            else:
+                if cid == b"data":
+                    data_size = size
+                f.seek(size + (size & 1), 1)
+            if fmt is not None and data_size is not None:
+                break
+    if fmt is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    denom = block_align or (max(n_channels, 1) * (bits // 8))
+    return data_size // max(denom, 1), sample_rate
+
+
 def load_wav_norm(path: str) -> Tuple[np.ndarray, int]:
     """Peak-normalized load (utils.load_wav_to_torch, utils.py:136-139).
     Uses the native C++ decoder (vits_tpu.native) when built."""
