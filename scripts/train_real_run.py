@@ -95,6 +95,31 @@ def main():
     state, global_step = L.run(hps, variant=variant, max_steps=steps, log_cb=log_cb)
 
     wall = time.time() - t_start
+
+    # distinct jit shapes the step saw = (spec bucket, per-bucket text pad)
+    # combos (data.Prefetcher pins ONE text pad per bucket)
+    from vits_tpu.train.data import (BucketSampler, Prefetcher,
+                                     TextAudioSpeakerDataset, DEFAULT_BOUNDARIES)
+    ds = TextAudioSpeakerDataset(hps.data.training_files, hps)
+    sampler = BucketSampler(ds.lengths, hps.train.batch_size,
+                            list(DEFAULT_BOUNDARIES))
+    pads = Prefetcher(ds, sampler)._text_pads()
+    shapes = sorted({(sampler.bucket_upper_bound(bi), pads[bi])
+                     for bi in range(len(sampler.buckets)) if sampler.buckets[bi]})
+
+    # eval mel-L1 trajectory + wall costs from the loop's log
+    evals = []
+    try:
+        import re
+        with open(os.path.join(hps.model_dir, "train.log")) as f:
+            for line in f:
+                m = re.search(r"eval step (\d+) mel_l1 ([\d.]+) wall ([\d.]+)s", line)
+                if m:
+                    evals.append({"step": int(m.group(1)),
+                                  "mel_l1": float(m.group(2)),
+                                  "wall_s": float(m.group(3))})
+    except OSError:
+        pass
     # steady state = intervals after the first (which includes the compile)
     steady = samples[1:] if len(samples) > 1 else samples
     out = {
@@ -108,6 +133,8 @@ def main():
         "input_stall_pct": round(float(np.mean([s["input_stall_pct"] for s in steady])), 2),
         "loss_g_first": samples[0]["loss_g"] if samples else None,
         "loss_g_last": samples[-1]["loss_g"] if samples else None,
+        "jit_shapes": shapes,
+        "evals": evals[-8:],
         "backend": jax.default_backend(),
     }
     print(json.dumps(out), flush=True)

@@ -131,6 +131,37 @@ def test_prefetcher_static_text_pad_per_bucket(tmp_path):
     assert shapes and all(len(s) == 1 for s in shapes.values()), shapes
 
 
+def test_on_device_spec_matches_host_pipeline():
+    """A spec-less batch's reflect-tailed wav, run through the on-device
+    spectrogram, matches the host pipeline's exact-length spectrogram on all
+    valid frames (the train step's no-"spec" path)."""
+    import jax.numpy as jnp
+    from vits_tpu.ops.stft import spectrogram
+    from vits_tpu.train.data import collate
+    from vits_tpu.utils.audio import spectrogram_np
+
+    n_fft, hop, win = 64, 8, 64
+    rng = np.random.RandomState(5)
+    samples = []
+    for L in (497, 520, 512):  # incl. non-multiples of hop and an exact fit
+        samples.append({"vec": rng.randn(6, 4).astype(np.float32),
+                        "wav": rng.uniform(-0.9, 0.9, L).astype(np.float32),
+                        "emo": rng.randn(1024).astype(np.float32), "sid": 1})
+    b = collate(samples, text_pad_to=8, spec_pad_to=64, hop_length=hop,
+                reflect_tail=n_fft)
+    assert "spec" not in b
+    assert b["wav"].shape[1] == 64 * hop + n_fft  # room for the mirror tail
+    frames = (b["wav"].shape[1] - n_fft) // hop
+    dev = np.asarray(spectrogram(jnp.asarray(b["wav"]), n_fft, hop, win))[:, :frames]
+    for i in range(len(samples)):
+        wl = int(b["wav_lengths"][i])
+        sl = int(b["spec_lengths"][i])
+        wav_exact = b["wav"][i, :wl]
+        host = spectrogram_np(wav_exact, n_fft, hop, win)
+        assert host.shape[0] >= sl
+        np.testing.assert_allclose(dev[i, :sl], host[:sl], rtol=2e-4, atol=2e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": {"b": jnp.arange(6.0).reshape(2, 3), "c": jnp.zeros((4,))},
             "d": [jnp.ones((2,)), jnp.full((3,), 2.0)]}

@@ -116,6 +116,8 @@ class EmoVITS:
 
         self._fused_cache = {}
         self._fused_seed = 777
+        self._prefer_fused = os.environ.get(
+            "VITS_TPU_FUSED", "0") not in ("0", "", "false")
         self._p1 = jax.jit(self._infer_p1_impl)
         self._p2 = jax.jit(self._infer_p2_impl)
         self._p2q = jax.jit(self._infer_p2_q8_impl)
@@ -327,7 +329,19 @@ class EmoVITS:
 
     def infer(self, spkid: int, text: np.ndarray, emo=None, *,
               duration_rate: float = 1.0):
-        """text: (N, text_channels) float32 -> (wav float32 (T,), emo used)."""
+        """text: (N, text_channels) float32 -> (wav float32 (T,), emo used).
+
+        VITS_TPU_FUSED=1 routes batch-1 requests through the fused
+        single-dispatch graph (infer_fused) — it skips the p1→host→p2 relay
+        round-trip, which dominates short-utterance latency (BASELINE.md
+        batch-1 table). int8/AOT serving stays on the two-phase path (the
+        quantized decoder and exported buckets are two-phase artifacts)."""
+        if self._prefer_fused and not self.quantize and self.aot is None:
+            return self.infer_fused(spkid, text, emo, duration_rate=duration_rate)
+        return self._infer_two_phase(spkid, text, emo, duration_rate=duration_rate)
+
+    def _infer_two_phase(self, spkid: int, text: np.ndarray, emo=None, *,
+                         duration_rate: float = 1.0):
         spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
 
         # phase 1 (bucketed text); prefer an AOT bucket when a bundle serves
@@ -396,7 +410,8 @@ class EmoVITS:
                          np.float32(self.noise_scale), np.float32(duration_rate))
         y_frames = int(y_frames)
         if y_frames >= max_frames:  # frame budget clipped: exact 2-phase retry
-            return self.infer(spkid, text, emo, duration_rate=duration_rate)
+            return self._infer_two_phase(spkid, text, emo,
+                                         duration_rate=duration_rate)
         wav = np.asarray(o, np.float32)[0, :y_frames * self.hop_size, 0]
         return wav, emo_vec
 

@@ -39,8 +39,15 @@ def load_binfn(filename: str, dim: int) -> np.ndarray:
 class TextAudioSpeakerDataset:
     """scp-driven dataset with on-disk spectrogram caching."""
 
-    def __init__(self, filepaths_sid_file: str, hps, cache_spec: bool = True):
+    def __init__(self, filepaths_sid_file: str, hps, cache_spec: bool = True,
+                 load_spec: bool = True):
+        """load_spec=False skips host-side spectrogram computation entirely —
+        the training step computes the spec ON DEVICE from the waveform
+        (TrainStep's no-"spec" batch path), which ships ~3× fewer bytes per
+        batch through the host→device link. Keep True for eval datasets
+        (evaluate() reads item["spec"])."""
         self.items = load_filepaths_and_sid(filepaths_sid_file)
+        self.load_spec = load_spec
         d, t = hps.data, hps.train
         self.sampling_rate = d.sampling_rate
         self.filter_length = d.filter_length
@@ -108,9 +115,14 @@ class TextAudioSpeakerDataset:
     def __getitem__(self, index: int):
         vecfn, wavfn, emofn, sid = self.items[index][:4]
         vec = load_binfn(vecfn, self.text_channels)
-        spec, wav = self.get_audio(wavfn)
         emo = load_binfn(emofn, 1024).reshape(-1)[:1024]
-        return {"vec": vec, "spec": spec, "wav": wav, "emo": emo, "sid": int(sid)}
+        if self.load_spec:
+            spec, wav = self.get_audio(wavfn)
+            return {"vec": vec, "spec": spec, "wav": wav, "emo": emo, "sid": int(sid)}
+        wav, sr = load_wav_norm(wavfn)
+        if sr != self.sampling_rate:
+            raise ValueError(f"{wavfn}: {sr} != target {self.sampling_rate}")
+        return {"vec": vec, "wav": wav, "emo": emo, "sid": int(sid)}
 
 
 DEFAULT_BOUNDARIES = [32, 300, 400, 500, 600, 700, 800, 900, 1000]
@@ -184,36 +196,54 @@ class BucketSampler:
 
 
 def collate(samples: List[dict], text_pad_to: int, spec_pad_to: int,
-            hop_length: int) -> Dict[str, np.ndarray]:
+            hop_length: int, reflect_tail: int = 0) -> Dict[str, np.ndarray]:
     """Zero-pad to STATIC shapes: text to text_pad_to, spec frames to
     spec_pad_to, wav to spec_pad_to*hop. Sorted by spec length descending
-    (data_utils.py:117-120)."""
-    order = np.argsort([-s["spec"].shape[0] for s in samples])
+    (data_utils.py:117-120).
+
+    When samples carry no "spec" (dataset load_spec=False), the batch ships
+    without one and the train step computes it on device. reflect_tail (the
+    STFT n_fft) then mirrors that many samples past each wav's end — the
+    continuation the reference's reflect-padded STFT of the EXACT-length wav
+    sees — and the wav is padded reflect_tail samples PAST spec_pad*hop so
+    the mirror always has room; the step slices the device spectrogram back
+    to spec_pad frames ((W - n_fft)//hop). Valid frames then equal the
+    host/reference pipeline's (test_on_device_spec_matches_host_pipeline)."""
+    with_spec = "spec" in samples[0]
+    frames = (lambda s: s["spec"].shape[0]) if with_spec \
+        else (lambda s: len(s["wav"]) // hop_length)
+    order = np.argsort([-frames(s) for s in samples])
     samples = [samples[i] for i in order]
     B = len(samples)
     C_text = samples[0]["vec"].shape[1]
-    F = samples[0]["spec"].shape[1]
-    wav_pad_to = spec_pad_to * hop_length
+    wav_pad_to = spec_pad_to * hop_length + (0 if with_spec else reflect_tail)
     out = {
         "x": np.zeros((B, text_pad_to, C_text), np.float32),
         "x_lengths": np.zeros((B,), np.int32),
-        "spec": np.zeros((B, spec_pad_to, F), np.float32),
         "spec_lengths": np.zeros((B,), np.int32),
         "wav": np.zeros((B, wav_pad_to), np.float32),
         "wav_lengths": np.zeros((B,), np.int32),
         "emo": np.zeros((B, 1024), np.float32),
         "sid": np.zeros((B,), np.int32),
     }
+    if with_spec:
+        F = samples[0]["spec"].shape[1]
+        out["spec"] = np.zeros((B, spec_pad_to, F), np.float32)
     for i, s in enumerate(samples):
         tl = min(s["vec"].shape[0], text_pad_to)
-        sl = min(s["spec"].shape[0], spec_pad_to)
-        wl = min(len(s["wav"]), wav_pad_to)
+        sl = min(frames(s), spec_pad_to)
+        wl = min(len(s["wav"]), spec_pad_to * hop_length)
         out["x"][i, :tl] = s["vec"][:tl]
         out["x_lengths"][i] = tl
-        out["spec"][i, :sl] = s["spec"][:sl]
+        if with_spec:
+            out["spec"][i, :sl] = s["spec"][:sl]
         out["spec_lengths"][i] = sl
         out["wav"][i, :wl] = s["wav"][:wl]
         out["wav_lengths"][i] = wl
+        if reflect_tail and wl >= 2:
+            k = min(reflect_tail, wav_pad_to - wl, wl - 1)
+            if k > 0:
+                out["wav"][i, wl:wl + k] = s["wav"][wl - 2 - np.arange(k)]
         out["emo"][i] = s["emo"]
         out["sid"][i] = s["sid"]
     return out
@@ -269,7 +299,10 @@ class Prefetcher:
                                              self.text_quantum, self.dataset.max_text_len),
                            self.text_quantum)
         spec_pad = self.sampler.bucket_upper_bound(bi)
-        b = collate(samples, text_pad, spec_pad, self.dataset.hop_length)
+        tail = 0 if getattr(self.dataset, "load_spec", True) \
+            else self.dataset.filter_length
+        b = collate(samples, text_pad, spec_pad, self.dataset.hop_length,
+                    reflect_tail=tail)
         if self.transform is not None:
             b = self.transform(b)
         return b

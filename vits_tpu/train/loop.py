@@ -291,13 +291,28 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
         S.check_git_hash(hps.model_dir)
 
     use_dur_dis = getattr(hps, "use_dur_dis", False)
-    dataset = TextAudioSpeakerDataset(hps.data.training_files, hps)
+    mesh = mesh or make_mesh()
+    # spec_on_device: the step computes spectrograms from the wav on device
+    # (batch ships without "spec" — ~3× less host→device traffic, which
+    # dominates real-pipeline step time through the relay). Host-side specs
+    # remain available via hps.train.spec_on_device=False.
+    spec_on_device = bool(getattr(hps.train, "spec_on_device", True))
+    dataset = TextAudioSpeakerDataset(hps.data.training_files, hps,
+                                      load_spec=not spec_on_device)
     eval_dataset = TextAudioSpeakerDataset(hps.data.validation_files, hps) \
         if is_main and os.path.exists(hps.data.validation_files) else []
     sampler = BucketSampler(dataset.lengths, hps.train.batch_size,
                             list(getattr(hps.train, "bucket_boundaries", DEFAULT_BOUNDARIES)),
                             num_replicas=jax.process_count(), rank=jax.process_index())
-    prefetcher = Prefetcher(dataset, sampler)
+    if jax.process_count() == 1:
+        # device placement happens in the prefetch threads, overlapping the
+        # host→device transfer with the previous step's compute
+        transform = lambda b: {**shard_batch(mesh, {k: v for k, v in b.items()
+                                                    if k != "wav_lengths"}),
+                               "wav_lengths": b["wav_lengths"]}
+    else:
+        transform = None  # multi-host: local shards assemble in the loop
+    prefetcher = Prefetcher(dataset, sampler, transform=transform)
 
     synth, disc, dur = build_models(hps, variant, use_dur_dis)
     gen_opt, disc_opt, dur_opt = build_optimizers(hps, variant, use_dur_dis)
@@ -314,7 +329,6 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
     cfg = TrainStepConfig.from_hps(hps, variant=variant, use_dur_dis=use_dur_dis,
                                    compute_dtype=compute_dtype)
     step_fn = make_train_step(synth, disc, cfg, gen_opt, disc_opt, dur, dur_opt)
-    mesh = mesh or make_mesh()
     sharded_step = make_sharded_train_step(step_fn, mesh)
     state = replicate(mesh, state)
 
@@ -339,14 +353,15 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
             input_wait_acc += time.time() - t_fetch
             audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
             batch.pop("wav_lengths", None)
-            # single-host: place the host-global batch sharded over `data`.
+            # single-host: the prefetcher transform already placed the batch
+            # sharded over `data` (transfer overlapped with compute).
             # multi-host: each process holds only its rank-strided shard
             # (BucketSampler rank semantics = data_utils.py:231), so assemble
             # a global array from per-process shards instead.
             if jax.process_count() > 1:
                 sb = local_batch_to_global(mesh, batch)
             else:
-                sb = shard_batch(mesh, batch)
+                sb = batch
             rng, sub = jax.random.split(rng)
             state, metrics = sharded_step(state, sb, sub, lr, lr,
                                           align_noise_at(hps, global_step), lr_p)

@@ -108,6 +108,22 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         rng_fwd, rng_step = jax.random.split(rng)
         cd = cfg.compute_dtype
 
+        # Spectrogram source: host-provided (reference pipeline parity /
+        # multi-host) or computed ON DEVICE from the waveform when the batch
+        # ships without "spec" — 52 MB/batch less host→device traffic at the
+        # base config; the collate reflect-tail keeps valid frames equal to
+        # the reference's exact-length STFT (data.collate).
+        if "spec" in batch:
+            spec_f32 = batch["spec"].astype(jnp.float32)
+        else:
+            # spec-less batches carry filter_length extra wav samples (the
+            # collate reflect tail); slice back to the bucket's frame count
+            from vits_tpu.ops.stft import spectrogram
+            frames = (batch["wav"].shape[1] - cfg.filter_length) // cfg.hop_length
+            spec_f32 = spectrogram(batch["wav"].astype(jnp.float32),
+                                   cfg.filter_length, cfg.hop_length,
+                                   cfg.win_length)[:, :frames]
+
         def cast_p(tree):
             # mixed-precision param cast (the reference runs D under fp16
             # autocast, train.py:202-206); grads flow back to fp32 masters
@@ -121,7 +137,7 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
             out = synth.forward(
                 gp, rng_fwd,
                 batch["x"].astype(cd), batch["x_lengths"],
-                batch["spec"].astype(cd), batch["spec_lengths"],
+                spec_f32.astype(cd), batch["spec_lengths"],
                 batch["emo"].astype(cd), batch["sid"],
                 align_noise=align_noise, mas_impl=cfg.mas_impl, train=True)
             diff = {k: out[k] for k in _DIFF_KEYS}
@@ -224,7 +240,7 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
             loss_kl_q = L.kl_loss(diff_outs["z_q"], diff_outs["logs_p"],
                                   diff_outs["m_q"], diff_outs["logs_q"], aux["y_mask"]) * cfg.c_kl_q
             if cfg.variant == "mel":
-                mel_full = spec_to_mel(batch["spec"].astype(jnp.float32), cfg.filter_length,
+                mel_full = spec_to_mel(spec_f32, cfg.filter_length,
                                        cfg.n_mel_channels, cfg.sampling_rate,
                                        cfg.mel_fmin, cfg.mel_fmax)
                 from vits_tpu.ops.seq import slice_segments
@@ -256,9 +272,9 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 # viz mels on element 0 only (train_stft.py:173-191 computes
                 # them on [:1] purely for the image summaries)
                 from vits_tpu.ops.seq import slice_segments
-                mel_1 = spec_to_mel(batch["spec"][:1].astype(jnp.float32),
-                                    cfg.filter_length, cfg.n_mel_channels,
-                                    cfg.sampling_rate, cfg.mel_fmin, cfg.mel_fmax)
+                mel_1 = spec_to_mel(spec_f32[:1], cfg.filter_length,
+                                    cfg.n_mel_channels, cfg.sampling_rate,
+                                    cfg.mel_fmin, cfg.mel_fmax)
                 y_mel_1 = slice_segments(mel_1, ids[:1], cfg.segment_frames)
                 y_hat_mel_1 = mel_of(y_hat_g[:1, :, 0])
                 metrics["viz_mel_org"] = jax.lax.stop_gradient(y_mel_1[0])
