@@ -210,12 +210,19 @@ def main():
         for _ in range(iters):
             wav1 = fused(*args)
         jax.device_get(ck(wav1))
-        return ((time.time() - t0) / iters) / (T_y * hop / sr)
+        rtf_graph = ((time.time() - t0) / iters) / (T_y * hop / sr)
+        # end-to-end flavor: serving returns the audio, so include the full
+        # waveform fetch (one relay round-trip — vs TWO on the 2-phase path)
+        t0 = time.time()
+        for _ in range(iters):
+            np.asarray(fused(*args), np.float32)
+        rtf_e2e = ((time.time() - t0) / iters) / (T_y * hop / sr)
+        return rtf_graph, rtf_e2e
 
     aps32, rtf32, wav32, dt32 = run_variant(jnp.float32)
     apsbf, rtfbf, wavbf, dtbf = run_variant(jnp.bfloat16)
     apsq8, rtfq8, wavq8, dtq8 = run_q8(jnp.bfloat16)
-    rtf_fused = run_fused_b1(jnp.bfloat16)
+    rtf_fused, rtf_fused_e2e = run_fused_b1(jnp.bfloat16)
     rtf_e2e = run_b1_e2e(jnp.bfloat16)
     ttfa_s = run_b1_stream_ttfa(jnp.bfloat16)
     # parity guards: reduced-precision waveforms must stay correlated w/ fp32
@@ -247,6 +254,7 @@ def main():
         "batch1_rtf": round(rtf, 5),
         "batch1_rtf_fused_bf16": round(rtf_fused, 5),
         "batch1_rtf_e2e_bf16": round(rtf_e2e, 5),
+        "batch1_rtf_fused_e2e_bf16": round(rtf_fused_e2e, 5),
         "batch1_stream_ttfa_ms": round(ttfa_s * 1e3, 2),
         "mode": mode,
         "fp32_audio_sec_per_s": round(aps32, 2),
