@@ -191,6 +191,30 @@ def test_infer_fused_single_dispatch(deploy_dir):
         del os.environ["VITS_TPU_FUSED_FRAMES_PER_TOKEN"]
 
 
+def test_infer_dispatches_to_fused(deploy_dir, monkeypatch):
+    """VITS_TPU_FUSED=1 routes infer() through the fused graph (the serving
+    opt-in for the 1.8x end-to-end batch-1 win, BASELINE.md); int8 serving
+    stays two-phase."""
+    d, synth, params = deploy_dir
+    from vits_tpu.infer import EmoVITS
+    monkeypatch.setenv("VITS_TPU_FUSED", "1")
+    model = EmoVITS(os.path.join(d, "checkpoint.npz"))
+    assert model._prefer_fused
+    calls = []
+    orig = model.infer_fused
+    model.infer_fused = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    rng = np.random.RandomState(3)
+    wav, _ = model.infer(1, rng.randn(17, 16).astype(np.float32),
+                         rng.randn(1024).astype(np.float32))
+    assert calls and np.all(np.isfinite(wav))
+    # quantize mode keeps the two-phase path
+    model_q = EmoVITS(os.path.join(d, "checkpoint.npz"), quantize=True)
+    model_q.infer_fused = lambda *a, **k: (_ for _ in ()).throw(AssertionError("fused used"))
+    wavq, _ = model_q.infer(1, rng.randn(17, 16).astype(np.float32),
+                            rng.randn(1024).astype(np.float32))
+    assert np.all(np.isfinite(wavq))
+
+
 def test_emovits_bf16_serving(deploy_dir):
     """bf16 serving mode end-to-end: fp32 requests against bf16 params must
     not be a trace error (inputs are cast in the jitted impls), across the
