@@ -270,6 +270,11 @@ def main():
         "mfu_bf16": round(fl / dtbf / PEAK_FLOPS["bf16"], 4),
         "mfu_int8": round(sol_q8 / dtq8, 4),
         "peak_tflops_assumed": {k: v / 1e12 for k, v in PEAK_FLOPS.items()},
+        # Achieved machine peaks measured on this chip (BASELINE.md roofline,
+        # scripts/probe_bw.py): mfu_* above divides by PAPER peaks and so
+        # understates proximity to what the hardware actually delivers.
+        "peak_measured_2026_08_21": {"bf16_tflops": 156.4, "int8_tops": 238.2,
+                                     "hbm_gbps": 390.0},
         "backend": jax.default_backend(),
     }))
 

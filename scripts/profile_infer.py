@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Per-component timing of the two-phase inference path on the real chip.
 
+SUPERSEDED for per-stage work by scripts/profile_infer2.py, which times
+prefixes of the REAL Generator.apply graph (stages=n) in bf16 AND int8
+instead of this file's hand-copied stage loop; kept for the p1/p2/expand
+split and the ups-only leg.
+
 Times (bf16, weight-norm-folded, B=8, T_y=768 — the bench.py config):
   p1, p2, expand+flow, full decoder, and decoder prefixes through each
   upsample stage (differences = per-stage cost).
