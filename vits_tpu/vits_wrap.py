@@ -274,15 +274,15 @@ class VITSWrap:
          sampling_rate, tail_silence, emotion) = self._parse_input(inputs)
 
         batch_utt_id, batch_utt_text = self._split_utt_text(utt_id, utt_text)
-        seq, batch_wavlen = 0, 0
-        segment_info, start_ms, end_ms = [], 0.0, 0.0
-        time_used_frontend, time_used_backend = 0.0, 0.0
+        seq, total_samples = 0, 0
+        segment_info, seg_start_ms, seg_end_ms = [], 0.0, 0.0
+        frontend_s, backend_s = 0.0, 0.0
         native = (pitch == 1.0 and sampling_rate == self.default_sampling_rate)
         for seg_idx, (uid, text) in enumerate(zip(batch_utt_id, batch_utt_text)):
             start = time.time()
             uid, utt_segtext, utt_vector = self.textparser(uid, text)
             end = time.time()
-            time_used_frontend += end - start
+            frontend_s += end - start
 
             start = end
             seg_samples = 0
@@ -299,33 +299,33 @@ class VITSWrap:
             if native:
                 for chunk in self.speecher.infer_stream(spkid, utt_vector,
                                                         emotion, duration_rate=speed):
-                    batch_wavlen += len(chunk)
+                    total_samples += len(chunk)
                     t_emit = time.time()
                     yield emit(chunk)
                     start += time.time() - t_emit  # consumer time isn't backend time
             else:
                 wav, emotion = self.speecher.infer(spkid, utt_vector, emotion,
                                                    duration_rate=speed)
-                batch_wavlen += len(wav)
+                total_samples += len(wav)
                 yield emit(self._postprocess_rate(wav, pitch, sampling_rate))
             if tail_silence > 0:
                 yield emit(np.zeros(int(tail_silence * sampling_rate), np.float32))
-            time_used_backend += time.time() - start
+            backend_s += time.time() - start
 
-            end_ms += seg_samples / sampling_rate * 1000
+            seg_end_ms += seg_samples / sampling_rate * 1000
             segment_info.append({
-                "start_ms": start_ms, "end_ms": end_ms,
+                "start_ms": seg_start_ms, "end_ms": seg_end_ms,
                 "input_text": text, "segtext": utt_segtext.printer(),
             })
-            start_ms = end_ms
+            seg_start_ms = seg_end_ms
 
-        rtf = (time_used_frontend + time_used_backend) / max(batch_wavlen / self.default_sampling_rate, 1e-9)
+        rtf = (frontend_s + backend_s) / max(total_samples / self.default_sampling_rate, 1e-9)
         final = dict(inputs)
         final.pop("wav", None)
         final.update({"final": True, "sr": sampling_rate,
                       "segment_info": segment_info,
-                      "time_used_frontend": time_used_frontend * 1000,
-                      "time_used_backend": time_used_backend * 1000,
+                      "time_used_frontend": frontend_s * 1000,
+                      "time_used_backend": backend_s * 1000,
                       "rtf": rtf})
         yield final
 
