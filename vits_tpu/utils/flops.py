@@ -161,6 +161,61 @@ def generator_flops(gen, B: int, T: int) -> Dict[str, float]:
     return out
 
 
+def generator_executed_flops(gen, B: int, T: int) -> Dict[str, float]:
+    """EXECUTED decoder FLOPs under the phase-packed schedule the graph
+    actually runs (nn.packed): a packed conv executes A dense taps over
+    (p·C_in, p·C_out) kernels — an A·p/K inflation over the useful count
+    wherever C < 128 forces packing (and ~A·u/K for the length-preserving
+    packed transposed convs). This is the denominator behind BASELINE.md's
+    roofline 'executed GFLOP' column; `generator_flops` stays the USEFUL
+    count that the bench's MFU fields divide by. Returns per-stage totals +
+    'total' (speaker conds excluded — they stay tiny Dense ops)."""
+    from vits_tpu.nn.core import Conv1d
+    from vits_tpu.nn.packed import _phase_map_regular, _phase_map_transposed
+    pre = Conv1d(gen.initial_channel, gen.upsample_initial_channel, 7, padding=3)
+    out: Dict[str, float] = {"conv_pre": conv1d_flops(B, T, pre)[0]}
+    packs = gen._pack_schedule()
+    t, p_cur = T, 1
+    for i in range(gen.num_upsamples):
+        u, k = gen.upsample_rates[i], gen.upsample_kernel_sizes[i]
+        cin = gen.upsample_initial_channel // (2 ** i)
+        cout = gen.upsample_initial_channel // (2 ** (i + 1))
+        pad = (k - u) // 2
+        stage = 0.0
+        if k == 2 * pad + u:  # packed transposed form (Generator.apply)
+            fmin, fmax, _, _ = _phase_map_transposed(k, p_cur, u, pad)
+            A = fmax - fmin + 1
+            stage += 2.0 * B * (t // p_cur) * A * (p_cur * cin) * (p_cur * u * cout)
+        else:
+            stage += conv_transpose1d_flops(B, t, gen._up(i))[0]
+        t *= u
+        p_cur = packs[i]
+        M = t // p_cur
+        for j in range(gen.num_kernels):
+            rb = gen._resblock(i, j)
+            for d in rb.dilation:
+                for conv in (rb._c1(d), rb._c2()):
+                    if p_cur > 1:
+                        fmin, fmax, _, _ = _phase_map_regular(
+                            conv.kernel_size, p_cur, conv.dilation, conv.padding)
+                        A = fmax - fmin + 1
+                        stage += 2.0 * B * M * A * (p_cur * conv.in_channels) \
+                            * (p_cur * conv.out_channels)
+                    else:
+                        stage += conv1d_flops(B, t, conv)[0]
+        out[f"stage{i}"] = stage
+    ch_last = gen.upsample_initial_channel // (2 ** gen.num_upsamples)
+    if p_cur > 1:
+        fmin, fmax, _, _ = _phase_map_regular(7, p_cur, 1, 3)
+        A = fmax - fmin + 1
+        out["conv_post"] = 2.0 * B * (t // p_cur) * A * (p_cur * ch_last) * p_cur
+    else:
+        out["conv_post"] = conv1d_flops(B, t, Conv1d(ch_last, 1, 7, padding=3,
+                                                     bias=False))[0]
+    out["total"] = sum(v for k_, v in out.items() if k_ != "total")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # inference graphs
 # ---------------------------------------------------------------------------
