@@ -126,7 +126,7 @@ def main():
             wav1 = p2(params, dec_q8, attn1, m_p, s_p, g, noise1)
         jax.device_get(ck(wav1))
         rtf = ((time.time() - t0) / iters) / (T_y * hop / sr)
-        return aps, rtf, wav, dt
+        return aps, rtf, wav, dt, params, dec_q8
 
     def run_b1_e2e(dtype):
         """HONEST two-phase batch-1 latency: p1 dispatch -> host fetch of the
@@ -189,20 +189,23 @@ def main():
             once()
         return (time.time() - t0) / iters
 
-    def run_fused_b1(dtype):
+    def run_fused_b1(dtype, dec_q8=None, params=None):
         """Batch-1 latency via the fused single-dispatch graph (encode +
         on-device alignment + flow + decode in one jit) — no p1->host->p2
-        round-trip. Same audio duration as the two-phase batch-1 RTF rows."""
+        round-trip. Same audio duration as the two-phase batch-1 RTF rows.
+        dec_q8: the calibrated int8 decoder — the fused+int8 serving mode
+        (EmoVITS's default path once quantize-mode calibration freezes)."""
         cast = lambda t: jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
-        params = cast(params32)
+        if params is None:
+            params = cast(params32)
         x1 = cast(inputs32["x"][:1])
         emo1 = cast(inputs32["emo"][:1])
-        fused = jax.jit(lambda p, r, x, xl, e, s: synth.inference(
+        fused = jax.jit(lambda p, q, r, x, xl, e, s: synth.inference(
             p, r, x.astype(dtype), xl, e, s,
-            noise_scale=hps.data.noise_scale, max_frames=T_y)[0])
+            noise_scale=hps.data.noise_scale, max_frames=T_y, dec_q8=q)[0])
         ck = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32)))
-        args = (params, jax.random.PRNGKey(0), x1,
+        args = (params, dec_q8, jax.random.PRNGKey(0), x1,
                 jnp.asarray([T_x], jnp.int32), emo1, sid[:1])
         jax.device_get(ck(fused(*args)))
         iters = 20
@@ -221,8 +224,10 @@ def main():
 
     aps32, rtf32, wav32, dt32 = run_variant(jnp.float32)
     apsbf, rtfbf, wavbf, dtbf = run_variant(jnp.bfloat16)
-    apsq8, rtfq8, wavq8, dtq8 = run_q8(jnp.bfloat16)
+    apsq8, rtfq8, wavq8, dtq8, params_q8, dec_q8 = run_q8(jnp.bfloat16)
     rtf_fused, rtf_fused_e2e = run_fused_b1(jnp.bfloat16)
+    rtf_fq8, rtf_fq8_e2e = run_fused_b1(jnp.bfloat16, dec_q8=dec_q8,
+                                        params=params_q8)
     rtf_e2e = run_b1_e2e(jnp.bfloat16)
     ttfa_s = run_b1_stream_ttfa(jnp.bfloat16)
     # parity guards: reduced-precision waveforms must stay correlated w/ fp32
@@ -259,6 +264,8 @@ def main():
         "batch1_rtf_fused_bf16": round(rtf_fused, 5),
         "batch1_rtf_e2e_bf16": round(rtf_e2e, 5),
         "batch1_rtf_fused_e2e_bf16": round(rtf_fused_e2e, 5),
+        "batch1_rtf_fused_int8": round(rtf_fq8, 5),
+        "batch1_rtf_fused_e2e_int8": round(rtf_fq8_e2e, 5),
         "batch1_stream_ttfa_ms": round(ttfa_s * 1e3, 2),
         "mode": mode,
         "fp32_audio_sec_per_s": round(aps32, 2),

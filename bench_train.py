@@ -28,16 +28,21 @@ def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spec_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     variant = sys.argv[3] if len(sys.argv) > 3 else "mel"  # mel (train.py) | stft (train_stft.py)
+    # 6th positional arg "dur" adds the duration discriminator (`-d` flag,
+    # train.py:96-105) to the step — its on-chip cost had never been measured.
+    use_dur_dis = len(sys.argv) > 5 and sys.argv[5] == "dur"
     text_len = 96
 
     hps.adapt = False
-    hps.use_dur_dis = False
-    synth, disc, _ = build_models(hps, variant, False)
-    gen_opt, disc_opt, _ = build_optimizers(hps, variant, False)
-    state = init_state(hps, synth, disc, None, gen_opt, disc_opt, None)
+    hps.use_dur_dis = use_dur_dis
+    synth, disc, dur = build_models(hps, variant, use_dur_dis)
+    gen_opt, disc_opt, dur_opt = build_optimizers(hps, variant, use_dur_dis)
+    state = init_state(hps, synth, disc, dur, gen_opt, disc_opt, dur_opt)
     compute_dtype = jnp.bfloat16 if getattr(hps.train, "bf16_run", False) else jnp.float32
-    cfg = TrainStepConfig.from_hps(hps, variant=variant, compute_dtype=compute_dtype)
-    step = jax.jit(make_train_step(synth, disc, cfg, gen_opt, disc_opt),
+    cfg = TrainStepConfig.from_hps(hps, variant=variant, use_dur_dis=use_dur_dis,
+                                   compute_dtype=compute_dtype)
+    step = jax.jit(make_train_step(synth, disc, cfg, gen_opt, disc_opt,
+                                   dur_disc=dur, dur_opt=dur_opt),
                    donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
@@ -84,7 +89,7 @@ def main():
     audio_sec = float(np.sum(np.asarray(batch["spec_lengths"]))) * hop / hps.data.sampling_rate
 
     print(json.dumps({
-        "metric": f"train_{variant}_audio_sec_per_s_per_chip",
+        "metric": f"train_{variant}{'_dur' if use_dur_dis else ''}_audio_sec_per_s_per_chip",
         "value": round(audio_sec / dt, 2),
         "unit": "audio_sec/s",
         "step_time_s": round(dt, 4),

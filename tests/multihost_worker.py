@@ -7,7 +7,7 @@ the global batch from its per-process local shard via
 striding, data_utils.py:231, + DDP allreduce, train.py:50,116-118) — and runs
 one data-parallel train step, printing the resulting generator loss.
 
-Not a test module; launched by subprocess with args: pid nproc port.
+Not a test module; launched by subprocess with args: pid nproc port [variant].
 """
 import os
 import sys
@@ -15,6 +15,7 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    variant = sys.argv[4] if len(sys.argv) > 4 else "mel"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
 
@@ -29,7 +30,7 @@ def main():
     from vits_tpu.parallel.mesh import (local_batch_to_global, make_mesh,
                                         make_sharded_train_step, replicate)
 
-    step, state = build("mel")
+    step, state = build(variant)
     mesh = make_mesh()
     n_global = len(jax.devices())
     assert jax.process_count() == nproc and n_global == 4 * nproc

@@ -109,7 +109,7 @@ def test_emovits_serves_from_bundle(aot_dir, deploy_dir):  # noqa: F811
     ref = EmoVITS(os.path.join(aotd, "checkpoint.npz"), aot=False,
                   text_quantum=32, frame_quantum=64)
     np.random.seed(11)
-    wav_jit, _ = ref.infer(2, text, emo)
+    wav_jit, _ = ref._infer_two_phase(2, text, emo)
     # the AOT frame bucket can differ from the jit quantum bucket, but the
     # masked graphs are padding-invariant, so the trimmed wavs must agree
     assert len(wav_aot) == len(wav_jit)

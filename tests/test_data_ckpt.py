@@ -153,13 +153,60 @@ def test_on_device_spec_matches_host_pipeline():
     assert b["wav"].shape[1] == 64 * hop + n_fft  # room for the mirror tail
     frames = (b["wav"].shape[1] - n_fft) // hop
     dev = np.asarray(spectrogram(jnp.asarray(b["wav"]), n_fft, hop, win))[:, :frames]
-    for i in range(len(samples)):
-        wl = int(b["wav_lengths"][i])
+    # collate sorts by frame count descending; map each batch row back to its
+    # source sample to compare against the host spectrogram of the FULL wav
+    # (== the exact-length wav here; the truncation case has its own test)
+    srcs = sorted(samples, key=lambda s: -(len(s["wav"]) // hop))
+    for i, s in enumerate(srcs):
         sl = int(b["spec_lengths"][i])
-        wav_exact = b["wav"][i, :wl]
-        host = spectrogram_np(wav_exact, n_fft, hop, win)
+        host = spectrogram_np(s["wav"], n_fft, hop, win)
         assert host.shape[0] >= sl
         np.testing.assert_allclose(dev[i, :sl], host[:sl], rtol=2e-4, atol=2e-4)
+
+
+def test_on_device_spec_bucket_cap_truncation():
+    """When the source wav extends past spec_pad*hop (bucket-cap truncation
+    with a sub-hop remainder), the collate tail ships the REAL continuation
+    samples, so the last valid frames match the spectrogram of the FULL wav —
+    the reference computes the spec before truncating frames (advisor r4)."""
+    n_fft, hop, win = 64, 8, 64
+    rng = np.random.RandomState(6)
+    spec_pad = 64
+    L = spec_pad * hop + 37  # past the cap, not a hop multiple
+    full = rng.uniform(-0.9, 0.9, L).astype(np.float32)
+    samples = [{"vec": rng.randn(6, 4).astype(np.float32), "wav": full,
+                "emo": rng.randn(1024).astype(np.float32), "sid": 0}]
+    b = collate(samples, text_pad_to=8, spec_pad_to=spec_pad, hop_length=hop,
+                reflect_tail=n_fft)
+    frames = (b["wav"].shape[1] - n_fft) // hop
+    dev = np.asarray(spectrogram(jnp.asarray(b["wav"]), n_fft, hop, win))[:, :frames]
+    host = spectrogram_np(full, n_fft, hop, win)
+    sl = int(b["spec_lengths"][0])
+    assert sl == spec_pad
+    np.testing.assert_allclose(dev[0, :sl], host[:sl], rtol=2e-4, atol=2e-4)
+
+
+def test_collate_compact_roundtrip():
+    """compact=True ships wav int16 / text+emo bf16; dequantized values match
+    the float collate to transport-quantization precision."""
+    import ml_dtypes
+    n_fft, hop = 64, 8
+    rng = np.random.RandomState(9)
+    samples = []
+    for L in (497, 520):
+        samples.append({"vec": rng.randn(6, 4).astype(np.float32),
+                        "wav": rng.uniform(-0.99, 0.99, L).astype(np.float32),
+                        "emo": rng.randn(1024).astype(np.float32), "sid": 1})
+    bf = collate(samples, 8, 64, hop, reflect_tail=n_fft)
+    bc = collate(samples, 8, 64, hop, reflect_tail=n_fft, compact=True)
+    assert bc["wav"].dtype == np.int16
+    assert bc["x"].dtype == ml_dtypes.bfloat16
+    assert bc["emo"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(bc["wav"].astype(np.float32) / 32767.0,
+                               bf["wav"], atol=0.51 / 32767.0)
+    np.testing.assert_allclose(bc["x"].astype(np.float32), bf["x"],
+                               rtol=8e-3, atol=8e-3)
+    np.testing.assert_array_equal(bc["x_lengths"], bf["x_lengths"])
 
 
 def test_checkpoint_roundtrip(tmp_path):

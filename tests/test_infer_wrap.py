@@ -85,7 +85,7 @@ def test_emovits_matches_exact_length_graph(deploy_dir):
     text = rng.randn(13, 16).astype(np.float32)
     emo = rng.randn(1024).astype(np.float32)
     np.random.seed(42)
-    wav, _ = model.infer(2, text, emo)
+    wav, _ = model._infer_two_phase(2, text, emo)
 
     # exact-length reference using the same folded params + same noise
     p = model.params
@@ -142,10 +142,10 @@ def test_export_cli(deploy_dir, tmp_path):
 
 
 def test_infer_stream_matches_infer(deploy_dir):
-    """Chunked streaming synthesis == one-shot synthesis, sample for sample
-    (north-star config 5). frame_quantum=16 keeps y_pad (and thus the seeded
-    noise-ring slice) identical between the two paths while forcing several
-    decode windows."""
+    """Chunked streaming synthesis == one-shot two-phase synthesis, sample
+    for sample (north-star config 5). frame_quantum=16 keeps y_pad (and thus
+    the seeded noise-ring slice) identical between the two paths while
+    forcing several decode windows."""
     d, synth, params = deploy_dir
     from vits_tpu.infer import EmoVITS
     model = EmoVITS(os.path.join(d, "checkpoint.npz"), frame_quantum=16)
@@ -153,7 +153,7 @@ def test_infer_stream_matches_infer(deploy_dir):
     text = rng.randn(37, 16).astype(np.float32)
     emo = rng.randn(1024).astype(np.float32)
     np.random.seed(99)
-    wav, _ = model.infer(2, text, emo)
+    wav, _ = model._infer_two_phase(2, text, emo)
     np.random.seed(99)
     chunks = list(model.infer_stream(2, text, emo))
     assert len(chunks) > 2, "expected several decode windows"
@@ -173,7 +173,7 @@ def test_infer_fused_single_dispatch(deploy_dir):
     rng = np.random.RandomState(21)
     text = rng.randn(23, 16).astype(np.float32)
     emo = rng.randn(1024).astype(np.float32)
-    wav2p, _ = model.infer(2, text, emo)
+    wav2p, _ = model._infer_two_phase(2, text, emo)
     wavf, emo_used = model.infer_fused(2, text, emo)
     assert np.all(np.isfinite(wavf)) and len(wavf) % model.hop_size == 0
     # same durations drive both paths: lengths match exactly
@@ -192,14 +192,13 @@ def test_infer_fused_single_dispatch(deploy_dir):
 
 
 def test_infer_dispatches_to_fused(deploy_dir, monkeypatch):
-    """VITS_TPU_FUSED=1 routes infer() through the fused graph (the serving
-    opt-in for the 1.8x end-to-end batch-1 win, BASELINE.md); int8 serving
-    stays two-phase."""
+    """infer() routes through the fused graph BY DEFAULT (the 1.8x measured
+    end-to-end batch-1 win, BASELINE.md); VITS_TPU_FUSED=0 restores
+    two-phase; int8 serving stays two-phase until its calibration freezes."""
     d, synth, params = deploy_dir
     from vits_tpu.infer import EmoVITS
-    monkeypatch.setenv("VITS_TPU_FUSED", "1")
     model = EmoVITS(os.path.join(d, "checkpoint.npz"))
-    assert model._prefer_fused
+    assert model._prefer_fused  # default ON
     calls = []
     orig = model.infer_fused
     model.infer_fused = lambda *a, **k: calls.append(1) or orig(*a, **k)
@@ -207,8 +206,13 @@ def test_infer_dispatches_to_fused(deploy_dir, monkeypatch):
     wav, _ = model.infer(1, rng.randn(17, 16).astype(np.float32),
                          rng.randn(1024).astype(np.float32))
     assert calls and np.all(np.isfinite(wav))
-    # quantize mode keeps the two-phase path
+    # opt-out restores the two-phase path
+    monkeypatch.setenv("VITS_TPU_FUSED", "0")
+    model_2p = EmoVITS(os.path.join(d, "checkpoint.npz"))
+    assert not model_2p._prefer_fused
+    # quantize mode serves two-phase while calibrating (dec_q8 not frozen)
     model_q = EmoVITS(os.path.join(d, "checkpoint.npz"), quantize=True)
+    model_q._prefer_fused = True
     model_q.infer_fused = lambda *a, **k: (_ for _ in ()).throw(AssertionError("fused used"))
     wavq, _ = model_q.infer(1, rng.randn(17, 16).astype(np.float32),
                             rng.randn(1024).astype(np.float32))
@@ -228,9 +232,9 @@ def test_emovits_bf16_serving(deploy_dir):
     text = rng.randn(17, 16).astype(np.float32)
     emo = rng.randn(1024).astype(np.float32)
     np.random.seed(7)
-    wav, _ = model.infer(2, text, emo)
+    wav, _ = model._infer_two_phase(2, text, emo)
     np.random.seed(7)
-    wav32, _ = model32.infer(2, text, emo)
+    wav32, _ = model32._infer_two_phase(2, text, emo)
     assert wav.dtype == np.float32 and np.all(np.isfinite(wav))
     assert wav.shape == wav32.shape
     corr = np.corrcoef(wav, wav32)[0, 1]

@@ -100,6 +100,7 @@ def test_log_train_summaries_reference_tags():
         "viz_mel_all": np.random.rand(24, 20).astype(np.float32),
         "viz_attn": np.eye(12, 5, dtype=np.float32),
         "audio_sec_per_s": 100.0,
+        "loss_gen": 0.3,
     }
     w = FakeWriter()
     scalars, images = log_train_summaries(w, 10, m, lr=2e-4)
@@ -112,6 +113,11 @@ def test_log_train_summaries_reference_tags():
     assert w.scalars["loss/d_r/1"] == pytest.approx(0.4)
     for tag in ["slice/mel_org", "slice/mel_gen", "all/mel", "all/attn"]:
         assert tag in w.images and w.images[tag].ndim == 3, tag
+    # viz_* tensors must never leak into the scalar namespace, and the
+    # aggregate adversarial loss_gen has no reference tag (advisor r4) —
+    # only the per-sub loss/g/{i} exist
+    assert not any(t.startswith("viz") or "mel_org" in t for t in w.scalars)
+    assert "loss/loss_gen" not in w.scalars and "loss_gen" not in w.scalars
 
 
 def test_tiny_training_run(tmp_path):

@@ -39,8 +39,10 @@ def test_emovits_quantized_close_to_float(deploy_dir, monkeypatch):
     text = rng.randn(19, 16).astype(np.float32)
     emo = np.zeros(1024, np.float32)
     np.random.seed(0)  # both engines draw the same noise-ring slice
-    wav_ref, _ = ref_model.infer(1, text, emo)
+    wav_ref, _ = ref_model._infer_two_phase(1, text, emo)
     # request 1 only observes statistics and serves the float path exactly
+    # (calibration needs the two-phase p1 artifacts, so quantize serving
+    # stays two-phase until the scales freeze)
     np.random.seed(0)
     wav1, _ = q_model.infer(1, text, emo)
     assert q_model.dec_q8 is None and q_model._q8_seen == 1
@@ -54,10 +56,13 @@ def test_emovits_quantized_close_to_float(deploy_dir, monkeypatch):
     c = float(np.corrcoef(wav_ref, wav_q)[0, 1])
     assert c > 0.98, c
 
-    # third request reuses the calibration (different text length bucket ok)
+    # with dec_q8 frozen, subsequent requests dispatch the FUSED+int8 graph
+    # (the fastest measured serving path, VERDICT r4 task 4)
     text2 = rng.randn(7, 16).astype(np.float32)
     wav2, _ = q_model.infer(1, text2, emo)
     assert np.all(np.isfinite(wav2))
+    assert any(k[2] for k in q_model._fused_cache), \
+        "expected a fused int8 graph to have served the post-freeze request"
 
 
 def test_emovits_q8_gate_falls_back_to_float(deploy_dir, monkeypatch):

@@ -123,8 +123,33 @@ def test_train_step_runs_and_updates(variant):
         assert "viz_mel_all" not in m1  # train_stft.py logs slice mels + attn only
 
 
-def test_train_step_dur_disc():
-    step, state = build("mel", use_dur_dis=True)
+def test_train_step_compact_batch_matches_float():
+    """Compact transport (int16 wav, bf16 text/emo — data.collate
+    compact=True) runs the same step as the float batch to quantization
+    tolerance; the step dequantizes on device."""
+    import ml_dtypes
+    step, state = build("mel")
+    jstep = jax.jit(step)
+    batch = make_batch()
+    compact = dict(batch)
+    wav = np.asarray(batch["wav"])
+    compact["wav"] = jnp.asarray(
+        np.clip(np.rint(wav * 32767.0), -32767, 32767).astype(np.int16))
+    compact["x"] = jnp.asarray(np.asarray(batch["x"]).astype(ml_dtypes.bfloat16))
+    compact["emo"] = jnp.asarray(np.asarray(batch["emo"]).astype(ml_dtypes.bfloat16))
+    k = jax.random.PRNGKey(5)
+    _, m_f = jstep(state, batch, k, 2e-4, 2e-4, 0.01)
+    _, m_c = jstep(state, compact, k, 2e-4, 2e-4, 0.01)
+    for key in ("loss_disc", "loss_g_total", "loss_mel"):
+        a, b = float(m_f[key]), float(m_c[key])
+        assert abs(a - b) <= 0.05 * abs(a) + 1e-3, (key, a, b)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_train_step_dur_disc(dtype):
+    # bf16 included: the P discriminator must cast its params to the compute
+    # dtype like D/G do (a real bf16 run hit a conv dtype mismatch here)
+    step, state = build("mel", use_dur_dis=True, compute_dtype=dtype)
     jstep = jax.jit(step)
     s1, m1 = jstep(state, make_batch(), jax.random.PRNGKey(1), 2e-4, 2e-4, 0.0)
     assert np.isfinite(float(m1["loss_disc_p"]))

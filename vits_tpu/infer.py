@@ -110,14 +110,21 @@ class EmoVITS:
                 lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params)
         self.params = jax.device_put(params)
 
-        # pre-sampled noise ring buffer (infer.py:69)
+        # pre-sampled noise ring buffer (infer.py:69); a device-resident copy
+        # feeds the fused graph (in-graph dynamic_slice at a host-drawn start
+        # — ring character with zero per-request noise transfer)
         rng = np.random.RandomState(12345)
         self.noise = (rng.randn(self.inter_channels * 4096) * self.noise_scale).astype(np.float32)
+        self._noise_dev = None
 
         self._fused_cache = {}
-        self._fused_seed = 777
+        # Fused single-dispatch is the serving DEFAULT: measured 1.8× faster
+        # end-to-end than two-phase at batch 1 (BASELINE.md batch-1 table —
+        # it saves one ~25-30 ms relay round-trip) and, drawing its prior
+        # noise from the same pre-sampled ring, keeps the reference noise
+        # character. VITS_TPU_FUSED=0 restores the two-phase path.
         self._prefer_fused = os.environ.get(
-            "VITS_TPU_FUSED", "0") not in ("0", "", "false")
+            "VITS_TPU_FUSED", "1") not in ("0", "", "false")
         self._p1 = jax.jit(self._infer_p1_impl)
         self._p2 = jax.jit(self._infer_p2_impl)
         self._p2q = jax.jit(self._infer_p2_q8_impl)
@@ -331,12 +338,16 @@ class EmoVITS:
               duration_rate: float = 1.0):
         """text: (N, text_channels) float32 -> (wav float32 (T,), emo used).
 
-        VITS_TPU_FUSED=1 routes batch-1 requests through the fused
-        single-dispatch graph (infer_fused) — it skips the p1→host→p2 relay
-        round-trip, which dominates short-utterance latency (BASELINE.md
-        batch-1 table). int8/AOT serving stays on the two-phase path (the
-        quantized decoder and exported buckets are two-phase artifacts)."""
-        if self._prefer_fused and not self.quantize and self.aot is None:
+        Batch-1 requests route through the fused single-dispatch graph
+        (infer_fused) by default — it skips the p1→host→p2 relay round-trip,
+        which dominates short-utterance latency (BASELINE.md batch-1 table);
+        VITS_TPU_FUSED=0 restores two-phase. int8 serving calibrates on the
+        two-phase path (the calibration record needs the p1 artifacts), then
+        dispatches the fused graph WITH the frozen int8 decoder — the fastest
+        measured serving configuration. AOT bundles stay two-phase (the
+        exported buckets are two-phase artifacts)."""
+        if self._prefer_fused and self.aot is None and \
+                (not self.quantize or self.dec_q8 is not None):
             return self.infer_fused(spkid, text, emo, duration_rate=duration_rate)
         return self._infer_two_phase(spkid, text, emo, duration_rate=duration_rate)
 
@@ -379,35 +390,46 @@ class EmoVITS:
         two-phase split). The frame budget is a static bucket estimated from
         the text length (VITS_TPU_FUSED_FRAMES_PER_TOKEN, default 8); if the
         predicted durations overflow it, the call transparently falls back to
-        the exact two-phase path. Noise comes from a per-call PRNG rather
-        than the shared noise ring, so waveforms differ from infer() by the
-        noise draw only."""
+        the exact two-phase path. Prior noise is an in-graph dynamic_slice of
+        the device-resident pre-sampled ring at a host-drawn start — the
+        reference's noise-ring character (infer.py:69,172-175) with zero
+        per-request noise transfer. Once the int8 decoder is calibrated and
+        frozen (quantize mode), the fused graph decodes with it."""
         spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
         x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
         fpt = float(os.environ.get("VITS_TPU_FUSED_FRAMES_PER_TOKEN", "8"))
         max_frames = self._quantize(
             max(int(x_length * fpt * duration_rate), self.frame_quantum),
             self.frame_quantum)
-        fn = self._fused_cache.get((x_pad, max_frames))
+        use_q8 = self.dec_q8 is not None
+        fn = self._fused_cache.get((x_pad, max_frames, use_q8))
         if fn is None:
-            synth, dt = self.synth, self.compute_dtype
+            synth, dt, C = self.synth, self.compute_dtype, self.inter_channels
 
-            def impl(params, rng, x, x_lengths, emo, sid, ns, ls):
+            def impl(params, dec_q8, ring, start, x, x_lengths, emo, sid, ls):
+                nl = max_frames * C
+                noise = jax.lax.dynamic_slice(ring, (start,), (nl,)) \
+                    .reshape(1, max_frames, C)
                 o, _, y_mask, _ = synth.inference(
-                    params, rng, x.astype(dt), x_lengths, emo.astype(dt), sid,
-                    noise_scale=ns, length_scale=ls, max_frames=max_frames)
+                    params, None, x.astype(dt), x_lengths, emo.astype(dt), sid,
+                    length_scale=ls, max_frames=max_frames, noise=noise,
+                    dec_q8=dec_q8)
                 return o, jnp.sum(y_mask[0]).astype(jnp.int32)
 
             fn = jax.jit(impl)
-            self._fused_cache[(x_pad, max_frames)] = fn
+            self._fused_cache[(x_pad, max_frames, use_q8)] = fn
+        if self._noise_dev is None:
+            self._noise_dev = jax.device_put(self.noise)
         x = np.zeros((1, x_pad, self.text_channels), np.float32)
         x[0, :x_length] = text[:x_pad]
-        self._fused_seed += 1
-        o, y_frames = fn(self.params, jax.random.PRNGKey(self._fused_seed),
+        nl = max_frames * self.inter_channels
+        start = np.random.randint(max(self.noise.size - nl, 1))
+        o, y_frames = fn(self.params, self.dec_q8 if use_q8 else None,
+                         self._noise_dev, jnp.asarray(start, jnp.int32),
                          jnp.asarray(x), jnp.asarray([x_length], jnp.int32),
                          jnp.asarray(emo_vec[None]),
                          jnp.asarray([spkid], jnp.int32),
-                         np.float32(self.noise_scale), np.float32(duration_rate))
+                         np.float32(duration_rate))
         y_frames = int(y_frames)
         if y_frames >= max_frames:  # frame budget clipped: exact 2-phase retry
             return self._infer_two_phase(spkid, text, emo,

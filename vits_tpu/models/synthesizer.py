@@ -728,8 +728,15 @@ class Synthesizer:
         }
 
     def inference(self, p, rng, x, x_lengths, emo, sid, noise_scale=1.0,
-                  length_scale=1.0, max_frames=1000):
-        """Batched eval path (models.py:517-535) with a static output cap."""
+                  length_scale=1.0, max_frames=1000, noise=None, dec_q8=None):
+        """Batched eval path (models.py:517-535) with a static output cap.
+
+        noise: optional PRE-SCALED prior noise (B, max_frames, inter) — the
+        serving path passes a slice of its reference-style pre-sampled ring
+        (infer.py:69) so the fused single-dispatch graph keeps noise-ring
+        character; when None, noise is drawn from `rng` and scaled by
+        noise_scale. dec_q8: optional int8 decoder params (Generator.quantize)
+        — the fused+int8 serving mode."""
         g = self.emb_g.apply(p["emb_g"], sid)
         x_mask = sequence_mask(x_lengths, x.shape[1])[..., None].astype(x.dtype)
         x_h, m_p, logs_p = self.enc_p.apply(p["enc_p"], x, x_mask, emo=emo, g=g)
@@ -745,10 +752,15 @@ class Synthesizer:
         attn = generate_path(w_ceil, attn_mask).astype(x.dtype)
         m_p_e = jnp.einsum("byx,bxc->byc", attn, m_p)
         logs_p_e = jnp.einsum("byx,bxc->byc", attn, logs_p)
-        z_p = m_p_e + jax.random.normal(rng, m_p_e.shape, m_p_e.dtype) \
-            * jnp.exp(logs_p_e) * jnp.asarray(noise_scale, m_p_e.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, m_p_e.shape, m_p_e.dtype) \
+                * jnp.asarray(noise_scale, m_p_e.dtype)
+        z_p = m_p_e + noise.astype(m_p_e.dtype) * jnp.exp(logs_p_e)
         z = self.flow.apply(p["flow"], z_p, y_mask, g=g, reverse=True)
-        o = self.dec.apply(p["dec"], z * y_mask, g=g, x_mask=y_mask)
+        if dec_q8 is not None:
+            o = self.dec.apply(dec_q8, z * y_mask, g=g, x_mask=y_mask, q8=True)
+        else:
+            o = self.dec.apply(p["dec"], z * y_mask, g=g, x_mask=y_mask)
         return o, attn, y_mask, (z, z_p, m_p_e, logs_p_e)
 
     def infer_p1(self, p, x, emo, sid, x_mask=None):

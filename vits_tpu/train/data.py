@@ -196,19 +196,28 @@ class BucketSampler:
 
 
 def collate(samples: List[dict], text_pad_to: int, spec_pad_to: int,
-            hop_length: int, reflect_tail: int = 0) -> Dict[str, np.ndarray]:
+            hop_length: int, reflect_tail: int = 0,
+            compact: bool = False) -> Dict[str, np.ndarray]:
     """Zero-pad to STATIC shapes: text to text_pad_to, spec frames to
     spec_pad_to, wav to spec_pad_to*hop. Sorted by spec length descending
     (data_utils.py:117-120).
 
     When samples carry no "spec" (dataset load_spec=False), the batch ships
     without one and the train step computes it on device. reflect_tail (the
-    STFT n_fft) then mirrors that many samples past each wav's end — the
-    continuation the reference's reflect-padded STFT of the EXACT-length wav
-    sees — and the wav is padded reflect_tail samples PAST spec_pad*hop so
-    the mirror always has room; the step slices the device spectrogram back
+    STFT n_fft) then continues that many samples past each wav's frame-count
+    cut — real source samples when the wav extends past spec_pad*hop (the
+    bucket-cap truncation case), mirrored only at the true end of the source
+    — which is the continuation the reference's reflect-padded STFT of the
+    full wav sees. The wav is padded reflect_tail samples PAST spec_pad*hop
+    so the tail always has room; the step slices the device spectrogram back
     to spec_pad frames ((W - n_fft)//hop). Valid frames then equal the
-    host/reference pipeline's (test_on_device_spec_matches_host_pipeline)."""
+    host/reference pipeline's (test_on_device_spec_matches_host_pipeline).
+
+    compact=True ships the transfer-dominant tensors small: wav as int16 PCM
+    (the source audio is 16-bit PCM anyway — load_wav_norm peak-normalizes,
+    so requantizing at 32767 costs ~3e-5 absolute) and text/emo vectors as
+    bfloat16 (the train step computes in bf16). Roughly halves host→device
+    bytes per batch, which dominates real-pipeline step time on the relay."""
     with_spec = "spec" in samples[0]
     frames = (lambda s: s["spec"].shape[0]) if with_spec \
         else (lambda s: len(s["wav"]) // hop_length)
@@ -241,11 +250,26 @@ def collate(samples: List[dict], text_pad_to: int, spec_pad_to: int,
         out["wav"][i, :wl] = s["wav"][:wl]
         out["wav_lengths"][i] = wl
         if reflect_tail and wl >= 2:
-            k = min(reflect_tail, wav_pad_to - wl, wl - 1)
-            if k > 0:
-                out["wav"][i, wl:wl + k] = s["wav"][wl - 2 - np.arange(k)]
+            k = min(reflect_tail, wav_pad_to - wl)
+            # real continuation first (bucket-cap truncation: the source wav
+            # extends past spec_pad*hop — the reference computes the spec from
+            # the FULL wav before truncating frames, so the tail frames must
+            # see the true samples, not a mirror at the cut)
+            avail = min(k, len(s["wav"]) - wl)
+            if avail > 0:
+                out["wav"][i, wl:wl + avail] = s["wav"][wl:wl + avail]
+            end = wl + max(avail, 0)
+            kk = min(k - max(avail, 0), end - 1)
+            if kk > 0:  # mirror at the true end of the source
+                out["wav"][i, end:end + kk] = s["wav"][end - 2 - np.arange(kk)]
         out["emo"][i] = s["emo"]
         out["sid"][i] = s["sid"]
+    if compact:
+        import ml_dtypes
+        out["wav"] = np.clip(np.rint(out["wav"] * 32767.0),
+                             -32767, 32767).astype(np.int16)
+        out["x"] = out["x"].astype(ml_dtypes.bfloat16)
+        out["emo"] = out["emo"].astype(ml_dtypes.bfloat16)
     return out
 
 
@@ -262,16 +286,27 @@ class Prefetcher:
     utterances, quantized) rather than per-batch-max: the jit shape count is
     bounded by the bucket count instead of the buckets × text-pads
     cross-product, which on the relay (30-200 s per compile) dominates
-    first-epoch wall time."""
+    first-epoch wall time.
+
+    `transform` (host→host, e.g. numpy post-processing) runs inside the
+    worker threads over the full depth+workers window. `place` (host→device,
+    e.g. parallel.mesh.shard_batch) runs in a separate bounded stage that
+    stays at most `place_depth` batches ahead of the consumer — device_put is
+    async, so transfers still overlap the previous steps' compute, but only
+    place_depth+1 batches ever sit staged in HBM (not the whole window)."""
 
     def __init__(self, dataset, sampler: BucketSampler, text_quantum: int = 32,
-                 depth: int = 2, transform=None, workers: int = 8):
+                 depth: int = 2, transform=None, workers: int = 8,
+                 compact: bool = False, place=None, place_depth: int = 2):
         self.dataset = dataset
         self.sampler = sampler
         self.text_quantum = text_quantum
         self.depth = depth
         self.transform = transform
         self.workers = max(1, workers)
+        self.compact = compact
+        self.place = place
+        self.place_depth = max(0, place_depth)
         self._bucket_text_pad = None
 
     def _text_pads(self):
@@ -302,13 +337,12 @@ class Prefetcher:
         tail = 0 if getattr(self.dataset, "load_spec", True) \
             else self.dataset.filter_length
         b = collate(samples, text_pad, spec_pad, self.dataset.hop_length,
-                    reflect_tail=tail)
+                    reflect_tail=tail, compact=self.compact)
         if self.transform is not None:
             b = self.transform(b)
         return b
 
-    def epoch(self, epoch: int):
-        """Yields collated numpy batches for this epoch, in sampler order."""
+    def _host_epoch(self, epoch: int):
         import itertools
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -329,3 +363,21 @@ class Prefetcher:
                 yield pending.popleft().result()
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
+
+    def epoch(self, epoch: int):
+        """Yields collated batches for this epoch, in sampler order —
+        device-placed (via `place`, bounded place_depth lookahead) when a
+        placement callable was given, host numpy otherwise."""
+        from collections import deque
+
+        host = self._host_epoch(epoch)
+        if self.place is None:
+            yield from host
+            return
+        placed = deque()
+        for b in host:
+            placed.append(self.place(b))
+            if len(placed) > self.place_depth:
+                yield placed.popleft()
+        while placed:
+            yield placed.popleft()

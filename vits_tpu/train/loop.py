@@ -180,6 +180,11 @@ def log_train_summaries(writer, global_step: int, m: dict, lr: float):
     for k, v in m.items():
         if k.startswith("viz_") or k in _VEC_TAG_MAP or np.ndim(v) != 0:
             continue
+        if k == "loss_gen":
+            # the aggregate adversarial G loss has no reference tag — the
+            # reference emits only the per-sub `loss/g/{i}` (train.py:258);
+            # emitting it as "loss/loss_gen" would off-reference the namespace
+            continue
         scalars[_TAG_MAP.get(k, f"loss/{k}" if k.startswith("loss") else k)] = float(v)
     for k, base in _VEC_TAG_MAP.items():
         if k in m:
@@ -305,14 +310,21 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
                             list(getattr(hps.train, "bucket_boundaries", DEFAULT_BOUNDARIES)),
                             num_replicas=jax.process_count(), rank=jax.process_index())
     if jax.process_count() == 1:
-        # device placement happens in the prefetch threads, overlapping the
-        # host→device transfer with the previous step's compute
-        transform = lambda b: {**shard_batch(mesh, {k: v for k, v in b.items()
-                                                    if k != "wav_lengths"}),
-                               "wav_lengths": b["wav_lengths"]}
+        # device placement runs in the prefetcher's bounded placement stage:
+        # device_put is async so transfer overlaps the previous steps'
+        # compute, while at most place_depth+1 batches sit staged in HBM
+        place = lambda b: {**shard_batch(mesh, {k: v for k, v in b.items()
+                                                if k != "wav_lengths"}),
+                           "wav_lengths": b["wav_lengths"]}
     else:
-        transform = None  # multi-host: local shards assemble in the loop
-    prefetcher = Prefetcher(dataset, sampler, transform=transform)
+        place = None  # multi-host: local shards assemble in the loop
+    prefetcher = Prefetcher(
+        dataset, sampler,
+        workers=int(getattr(hps.train, "prefetch_workers", 8)),
+        depth=int(getattr(hps.train, "prefetch_depth", 2)),
+        compact=bool(getattr(hps.train, "compact_batch", True)),
+        place=place,
+        place_depth=int(getattr(hps.train, "prefetch_device_depth", 2)))
 
     synth, disc, dur = build_models(hps, variant, use_dur_dis)
     gen_opt, disc_opt, dur_opt = build_optimizers(hps, variant, use_dur_dis)

@@ -108,6 +108,14 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         rng_fwd, rng_step = jax.random.split(rng)
         cd = cfg.compute_dtype
 
+        # compact batches (data.collate compact=True) ship the wav as int16
+        # PCM; dequantize on device at the collate's 32767 scale
+        wav = batch["wav"]
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+        else:
+            wav = wav.astype(jnp.float32)
+
         # Spectrogram source: host-provided (reference pipeline parity /
         # multi-host) or computed ON DEVICE from the waveform when the batch
         # ships without "spec" — 52 MB/batch less host→device traffic at the
@@ -119,9 +127,8 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
             # spec-less batches carry filter_length extra wav samples (the
             # collate reflect tail); slice back to the bucket's frame count
             from vits_tpu.ops.stft import spectrogram
-            frames = (batch["wav"].shape[1] - cfg.filter_length) // cfg.hop_length
-            spec_f32 = spectrogram(batch["wav"].astype(jnp.float32),
-                                   cfg.filter_length, cfg.hop_length,
+            frames = (wav.shape[1] - cfg.filter_length) // cfg.hop_length
+            spec_f32 = spectrogram(wav, cfg.filter_length, cfg.hop_length,
                                    cfg.win_length)[:, :frames]
 
         def cast_p(tree):
@@ -155,7 +162,7 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
         (diff, vjp_fn, aux) = jax.vjp(fwd, state["gen"], has_aux=True)
         ids = aux["ids_slice"]
         seg = cfg.segment_frames * cfg.hop_length
-        y_slice = slice_segments_1d(batch["wav"], ids * cfg.hop_length, seg)[..., None]
+        y_slice = slice_segments_1d(wav, ids * cfg.hop_length, seg)[..., None]
         y_hat = diff["y_hat"].astype(jnp.float32)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
@@ -214,7 +221,9 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
             logw_pred_sg = jax.lax.stop_gradient(diff["logw"])
 
             def p_loss_fn(pp):
-                d_r, d_g = dur_disc.apply(pp, x_hidden_sg, aux["x_mask"],
+                # P runs in the compute dtype like the other discriminators
+                # (fp16 autocast in the reference); grads land on f32 masters
+                d_r, d_g = dur_disc.apply(cast_p(pp), x_hidden_sg, aux["x_mask"],
                                           aux["logw_"], logw_pred_sg)
                 loss_p, pr, pg = L.discriminator_loss(d_r, d_g)
                 return loss_p, (pr, pg)
@@ -280,8 +289,9 @@ def make_train_step(synth, disc, cfg: TrainStepConfig, gen_opt, disc_opt,
                 metrics["viz_mel_org"] = jax.lax.stop_gradient(y_mel_1[0])
                 metrics["viz_mel_gen"] = jax.lax.stop_gradient(y_hat_mel_1[0])
             if cfg.use_dur_dis and dur_disc is not None:
-                _, d_g = dur_disc.apply(new_dur, diff_outs["x_hidden"], aux["x_mask"],
-                                        aux["logw_"], diff_outs["logw"])
+                _, d_g = dur_disc.apply(cast_p(new_dur), diff_outs["x_hidden"],
+                                        aux["x_mask"], aux["logw_"],
+                                        diff_outs["logw"])
                 loss_gen_p, losses_gen_p = L.generator_loss(d_g)
                 loss_all = loss_all + loss_gen_p
                 metrics["loss_gen_p"] = loss_gen_p

@@ -39,9 +39,14 @@ def get_logger(model_dir: str, filename: str = "train.log") -> logging.Logger:
 class SummaryWriter:
     """TensorBoard writer with JSONL fallback."""
 
+    # JSONL fallback: rendered images retained per tag (older ones deleted —
+    # unbounded .npy growth was an advisor r4 finding)
+    IMAGE_KEEP = 4
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self._tb = None
+        self._img_history: Dict[str, list] = {}
         try:
             from torch.utils.tensorboard import SummaryWriter as TB
             self._tb = TB(log_dir=log_dir)
@@ -60,12 +65,23 @@ class SummaryWriter:
         if self._tb:
             self._tb.add_image(tag, img_hwc, step, dataformats="HWC")
         else:
-            # JSONL fallback: record the event and drop the rendered PNG
-            # beside the log so image summaries aren't silently lost
-            fn = f"img_{tag.replace('/', '_')}_{int(step)}.npy"
-            path = os.path.join(os.path.dirname(self._jsonl.name), fn)
+            # JSONL fallback: record the event and drop the compressed render
+            # beside the log so image summaries aren't silently lost; only the
+            # last IMAGE_KEEP renders per tag are retained on disk (long runs
+            # without tensorboard must not grow the log dir unboundedly)
+            fn = f"img_{tag.replace('/', '_')}_{int(step)}.npz"
+            log_dir = os.path.dirname(self._jsonl.name)
             try:
-                np.save(path, np.asarray(img_hwc))
+                np.savez_compressed(os.path.join(log_dir, fn),
+                                    image=np.asarray(img_hwc))
+                hist = self._img_history.setdefault(tag, [])
+                hist.append(fn)
+                while len(hist) > self.IMAGE_KEEP:
+                    old = hist.pop(0)
+                    try:
+                        os.remove(os.path.join(log_dir, old))
+                    except OSError:
+                        pass
             except OSError:
                 fn = None
             self._jsonl.write(json.dumps({"t": time.time(), "step": int(step),
