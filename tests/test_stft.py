@@ -89,3 +89,24 @@ def test_mel_spectrogram_pipeline():
     mel = S.mel_spectrogram(jnp.asarray(y), 1024, 80, 16000, 192, 768)
     assert mel.shape == (1, 20, 80)
     assert np.all(np.isfinite(np.asarray(mel)))
+
+
+def test_stft_custom_vjp_matches_fft_autodiff():
+    """The matmul path's hand-written backward (matmul + overlap-add,
+    replacing XLA's pathological transposed-conv input-grad) must equal
+    autodiff through the fft reference path."""
+    import jax
+    rng = np.random.RandomState(0)
+    for (n_fft, hop, win, T) in [(64, 16, 64, 512), (128, 32, 128, 513),
+                                 (64, 16, 48, 500)]:
+        x = jnp.asarray(rng.uniform(-1, 1, (2, T)).astype(np.float32))
+
+        def loss(x, method):
+            re, im = S.stft(x, n_fft, hop, win, center=True, method=method)
+            return jnp.sum(jnp.sqrt(re * re + im * im + 1e-7) * jnp.cos(re))
+
+        gm = jax.grad(lambda x: loss(x, "matmul"))(x)
+        gf = jax.grad(lambda x: loss(x, "fft"))(x)
+        ref = float(jnp.abs(gf).max())
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gf),
+                                   atol=1e-3 * max(ref, 1.0))

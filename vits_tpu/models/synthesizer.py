@@ -396,7 +396,7 @@ class Generator:
         return tuple(packs)
 
     def apply(self, p, x, g=None, x_mask=None, packed=True, record=None, q8=False,
-              stages=None):
+              stages=None, q8_pallas=False):
         """x: (B, T, initial); optional frame mask (B, T, 1) upsampled per
         stage so padded inference == exact-length inference. Returns
         (B, T * prod(rates), 1) waveform in (-1, 1).
@@ -456,7 +456,11 @@ class Generator:
             for j in range(self.num_kernels):
                 idx = i * self.num_kernels + j
                 rb = self._resblock(i, j)
-                if q8:
+                if q8 and q8_pallas:
+                    from vits_tpu.nn.pallas_rb import resblock2_chain_q8
+                    xs = xs + resblock2_chain_q8(rb, p["resblocks"][str(idx)],
+                                                 x, g, pack=p_cur, x_mask=m)
+                elif q8:
                     xs = xs + rb.apply_q8(p["resblocks"][str(idx)], x, g, p_cur, x_mask=m)
                 elif p_cur > 1:
                     xs = xs + rb.apply_packed(p["resblocks"][str(idx)], x, g, p_cur,

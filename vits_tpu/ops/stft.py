@@ -85,8 +85,61 @@ def frame_count(length: int, n_fft: int, hop: int, center: bool) -> int:
     return (length - n_fft) // hop + 1
 
 
+def _overlap_add(frames, hop: int, total_len: int):
+    """(B, T', n_fft) frames → (B, total_len) by hop-strided shifted adds
+    (no scatter; same construction as istft's OLA)."""
+    B, Tp, n_fft = frames.shape
+    m = -(-n_fft // hop)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, m * hop - n_fft)))
+    chunks = frames.reshape(B, Tp, m, hop)
+    y = jnp.zeros((B, Tp + m - 1, hop), frames.dtype)
+    for j in range(m):
+        y = y.at[:, j:j + Tp].add(chunks[:, :, j])
+    y = y.reshape(B, (Tp + m - 1) * hop)
+    ola_len = (Tp - 1) * hop + n_fft
+    y = y[:, :ola_len]
+    if total_len > ola_len:
+        y = jnp.pad(y, ((0, 0), (0, total_len - ola_len)))
+    return y[:, :total_len]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _stft_conv(x, n_fft: int, hop: int, win_length: int):
+    """VALID strided windowed-DFT conv: (B, T) → (B, T', 2F).
+
+    custom_vjp: XLA's autodiff input-grad of this conv is a transposed conv
+    with an n_fft-tap kernel at lhs_dilation=hop, which it executes orders of
+    magnitude off the FLOP floor (measured ~46 ms for the 5-resolution loss
+    stack at the stft-trainer shapes — scripts/probe_stft_terms.py). The
+    hand-written backward is one (B, T', 2F) @ (2F, n_fft) matmul + a
+    hop-strided overlap-add — sub-ms at the same shapes.
+    """
+    kern = _dft_kernel_traced(n_fft, win_length) if isinstance(
+        x, jax.core.Tracer) else jnp.asarray(_dft_kernel(n_fft, win_length))
+    return lax.conv_general_dilated(
+        x[:, :, None], kern, (hop,), "VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _stft_conv_fwd(x, n_fft, hop, win_length):
+    return _stft_conv(x, n_fft, hop, win_length), x.shape[1]
+
+
+def _stft_conv_bwd(n_fft, hop, win_length, T, dy):
+    # y[b,t,o] = sum_k x[b, t*hop + k] kern[k,o]  =>
+    # dx = overlap-add_hop(dy @ kern^T)
+    kern2 = _dft_kernel_traced(n_fft, win_length)[:, 0, :]  # (n_fft, 2F)
+    d_frames = jnp.matmul(dy.astype(jnp.float32), kern2.T,
+                          preferred_element_type=jnp.float32)
+    return (_overlap_add(d_frames, hop, T),)
+
+
+_stft_conv.defvjp(_stft_conv_fwd, _stft_conv_bwd)
+
+
 def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
-         center: bool = True, method: str = "matmul", precision=None):
+         center: bool = True, method: str = "matmul"):
     """Short-time Fourier transform.
 
     x: (B, T) float. Returns (re, im) each (B, n_frames, F=n_fft//2+1).
@@ -100,18 +153,9 @@ def stft(x, n_fft: int, hop_length: int, win_length: Optional[int] = None,
         x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     F = n_fft // 2 + 1
     if method == "matmul":
-        # under a trace, build the basis from iota+trig (small HLO); eagerly,
-        # use the lru-cached host constant (no per-call recompute)
-        if isinstance(x, jax.core.Tracer):
-            kern = _dft_kernel_traced(n_fft, win_length)
-        else:
-            kern = jnp.asarray(_dft_kernel(n_fft, win_length))
-        y = lax.conv_general_dilated(
-            x[:, :, None], kern, (hop_length,), "VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (B, T', 2F)
+        # one strided windowed-DFT conv; custom_vjp replaces XLA's
+        # pathological transposed-conv input-grad with matmul + overlap-add
+        y = _stft_conv(x, n_fft, hop_length, win_length)  # (B, T', 2F)
         return y[..., :F], y[..., F:]
     # fft reference path
     nf = frame_count(x.shape[1], n_fft, hop_length, center=False)
