@@ -124,7 +124,14 @@ def main(argv=None):
     parser.add_argument("--init-spk-embed", action="store_true")
     parser.add_argument("--greedy-soup", "--greedy", default=5, type=int)
     parser.add_argument("--convert", "-c", default=0, type=int,
-                        help="1: AOT-export bucketed infer_p1/p2 (.jaxexp)")
+                        help="1: AOT-export bucketed infer_p1/p2 (.jaxexp); "
+                             "2: also emit model_p1.onnx/model_p2.onnx "
+                             "(reference export.py:159-226 convert levels)")
+    parser.add_argument("--onnx-tx", type=int, default=48,
+                        help="text length model_p1/p2.onnx are traced at "
+                             "(p1 is length-dynamic; reference uses 48)")
+    parser.add_argument("--onnx-ty", type=int, default=384,
+                        help="frame count model_p2.onnx is traced at")
     parser.add_argument("--text-buckets", type=str, default=None,
                         help="comma-separated text buckets for --convert")
     parser.add_argument("--frame-buckets", type=str, default=None,
@@ -170,6 +177,12 @@ def main(argv=None):
             kw["frame_buckets"] = tuple(int(s) for s in args.frame_buckets.split(","))
         n = export_aot(synth, folded, args.outdir, hps, **kw)
         logging.info("AOT-exported %d bucketed graphs to %s", n, args.outdir)
+        if args.convert >= 2:
+            from vits_tpu.onnx import export_onnx
+            p1, p2 = export_onnx(synth, params, args.outdir,
+                                 t_x=args.onnx_tx, t_y=args.onnx_ty)
+            logging.info("Successfully convert part1 to onnx: [%s]", p1)
+            logging.info("Successfully convert part2 to onnx: [%s]", p2)
 
 
 if __name__ == "__main__":
