@@ -393,15 +393,20 @@ class EmoVITS:
         the exact two-phase path. Prior noise is an in-graph dynamic_slice of
         the device-resident pre-sampled ring at a host-drawn start — the
         reference's noise-ring character (infer.py:69,172-175) with zero
-        per-request noise transfer. Once the int8 decoder is calibrated and
-        frozen (quantize mode), the fused graph decodes with it."""
+        per-request noise transfer. The fused graph decodes in bf16 even when
+        the int8 decoder is calibrated: at batch-1 shapes the int8 decode
+        MEASURED SLOWER end-to-end (45.6 vs 40.6 ms — sub-128-lane tiles +
+        quantize traversals outweigh the MXU win that int8 gets at batch 8;
+        BASELINE.md batch-1 table, 2026-08-21). VITS_TPU_FUSED_Q8=1 opts the
+        fused graph into the int8 decoder anyway."""
         spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
         x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
         fpt = float(os.environ.get("VITS_TPU_FUSED_FRAMES_PER_TOKEN", "8"))
         max_frames = self._quantize(
             max(int(x_length * fpt * duration_rate), self.frame_quantum),
             self.frame_quantum)
-        use_q8 = self.dec_q8 is not None
+        use_q8 = self.dec_q8 is not None and os.environ.get(
+            "VITS_TPU_FUSED_Q8", "0") not in ("0", "", "false")
         fn = self._fused_cache.get((x_pad, max_frames, use_q8))
         if fn is None:
             synth, dt, C = self.synth, self.compute_dtype, self.inter_channels

@@ -342,42 +342,58 @@ class Prefetcher:
             b = self.transform(b)
         return b
 
-    def _host_epoch(self, epoch: int):
+    def _host_stream(self, start_epoch: int, end_epoch: int):
         import itertools
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        batches = self.sampler.epoch_batches(epoch)
+        def tasks():
+            for epoch in range(start_epoch, end_epoch + 1):
+                for bi, idxs in self.sampler.epoch_batches(epoch):
+                    yield epoch, bi, idxs
+
         window = self.depth + self.workers
         ex = ThreadPoolExecutor(max_workers=self.workers,
                                 thread_name_prefix="vits-prefetch")
         try:
             pending = deque()
-            it = iter(batches)
-            for bi, idxs in itertools.islice(it, window):
-                pending.append(ex.submit(self._build, bi, idxs))
-            for bi, idxs in it:
-                yield pending.popleft().result()
-                pending.append(ex.submit(self._build, bi, idxs))
+            it = tasks()
+            for ep, bi, idxs in itertools.islice(it, window):
+                pending.append((ep, ex.submit(self._build, bi, idxs)))
+            for ep, bi, idxs in it:
+                e0, fut = pending.popleft()
+                yield e0, fut.result()
+                pending.append((ep, ex.submit(self._build, bi, idxs)))
             while pending:
-                yield pending.popleft().result()
+                e0, fut = pending.popleft()
+                yield e0, fut.result()
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
 
-    def epoch(self, epoch: int):
-        """Yields collated batches for this epoch, in sampler order —
-        device-placed (via `place`, bounded place_depth lookahead) when a
+    def stream(self, start_epoch: int, end_epoch: int):
+        """Yields (epoch, batch) continuously from start_epoch through
+        end_epoch with ONE persistent worker pool: the collate + placement
+        window stays full across epoch boundaries instead of draining and
+        restarting cold every epoch (with short benchmark corpora that drain
+        dominated input stall — an epoch was only a handful of batches).
+        Batches are device-placed (bounded place_depth lookahead) when a
         placement callable was given, host numpy otherwise."""
         from collections import deque
 
-        host = self._host_epoch(epoch)
+        host = self._host_stream(start_epoch, end_epoch)
         if self.place is None:
             yield from host
             return
         placed = deque()
-        for b in host:
-            placed.append(self.place(b))
+        for ep, b in host:
+            placed.append((ep, self.place(b)))
             if len(placed) > self.place_depth:
                 yield placed.popleft()
         while placed:
             yield placed.popleft()
+
+    def epoch(self, epoch: int):
+        """Yields collated batches for one epoch, in sampler order (the
+        single-epoch view of `stream`)."""
+        for _, b in self.stream(epoch, epoch):
+            yield b

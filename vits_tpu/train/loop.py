@@ -351,68 +351,76 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
     audio_sec_acc = 0.0
     input_wait_acc = 0.0
     first_eval = True
-    for epoch in range(epoch_start, t.epochs + 1):
-        lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
-        lr_p = exponential_lr(1e-4, t.lr_decay, epoch)  # train.py:100-102,148
-        batches = iter(prefetcher.epoch(epoch))
-        while True:
-            t_fetch = time.time()
-            batch = next(batches, None)
-            if batch is None:
-                break
-            # host wait on the input pipeline; compute is async-dispatched, so
-            # any nonzero wait here is genuine input stall
-            input_wait_acc += time.time() - t_fetch
-            audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
-            batch.pop("wav_lengths", None)
-            # single-host: the prefetcher transform already placed the batch
-            # sharded over `data` (transfer overlapped with compute).
-            # multi-host: each process holds only its rank-strided shard
-            # (BucketSampler rank semantics = data_utils.py:231), so assemble
-            # a global array from per-process shards instead.
-            if jax.process_count() > 1:
-                sb = local_batch_to_global(mesh, batch)
-            else:
-                sb = batch
-            rng, sub = jax.random.split(rng)
-            state, metrics = sharded_step(state, sb, sub, lr, lr,
-                                          align_noise_at(hps, global_step), lr_p)
-            global_step += 1
-            audio_sec_acc += audio_sec
-            if is_main and global_step % t.log_interval == 0:
-                mh = jax.device_get(metrics)
-                m = {k: float(v) for k, v in mh.items() if np.ndim(v) == 0}
-                dt = time.time() - t_last
-                m["audio_sec_per_s"] = audio_sec_acc / max(dt, 1e-9)
-                m["input_stall_pct"] = 100.0 * input_wait_acc / max(dt, 1e-9)
-                t_last = time.time()
-                audio_sec_acc = 0.0
-                input_wait_acc = 0.0
-                logger.info("step %d epoch %d lr %.6g | %s", global_step, epoch, lr,
-                            {k: round(v, 5) for k, v in m.items()})
-                log_train_summaries(writer, global_step, {**mh, **m}, lr)
-                if log_cb:
-                    log_cb(global_step, m)
-            if is_main and global_step % t.eval_interval == 0:
-                rng, sub = jax.random.split(rng)
-                t_eval = time.time()
-                # params are DP-replicated: take the local single-device
-                # replica (no host round-trip through the relay)
-                gen_local = jax.tree_util.tree_map(
-                    lambda a: a.addressable_data(0) if hasattr(a, "addressable_data") else a,
-                    state["gen"])
-                mel_l1 = evaluate(hps, synth, gen_local, eval_dataset,
-                                  writer_eval, global_step, sub, first=first_eval)
-                if mel_l1 is not None:
-                    logger.info("eval step %d mel_l1 %.4f wall %.2fs",
-                                global_step, mel_l1, time.time() - t_eval)
-                first_eval = False
-                save_all(hps, jax.device_get(state), epoch)
-            if max_steps is not None and global_step >= max_steps:
-                break
-        if max_steps is not None and global_step >= max_steps:
+    epoch = epoch_start
+    lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
+    lr_p = exponential_lr(1e-4, t.lr_decay, epoch)  # train.py:100-102,148
+    # one continuous cross-epoch stream: the prefetch window never drains at
+    # epoch boundaries (short corpora = few batches/epoch made those drains
+    # the dominant input stall in the real-pipeline runs)
+    batches = prefetcher.stream(epoch_start, t.epochs)
+    while True:
+        t_fetch = time.time()
+        item = next(batches, None)
+        if item is None:
             break
-        if (getattr(hps, "adapt", False) and global_step > t.steps) or lr <= 5e-6:
+        batch_epoch, batch = item
+        if batch_epoch != epoch:
+            # epoch rollover: end-of-epoch terminations + lr schedule
+            if (getattr(hps, "adapt", False) and global_step > t.steps) \
+                    or lr <= 5e-6:
+                break
+            epoch = batch_epoch
+            lr = exponential_lr(t.learning_rate, t.lr_decay, epoch)
+            lr_p = exponential_lr(1e-4, t.lr_decay, epoch)
+        # host wait on the input pipeline; compute is async-dispatched, so
+        # any nonzero wait here is genuine input stall
+        input_wait_acc += time.time() - t_fetch
+        audio_sec = float(np.sum(batch["wav_lengths"])) / hps.data.sampling_rate
+        batch.pop("wav_lengths", None)
+        # single-host: the prefetcher transform already placed the batch
+        # sharded over `data` (transfer overlapped with compute).
+        # multi-host: each process holds only its rank-strided shard
+        # (BucketSampler rank semantics = data_utils.py:231), so assemble
+        # a global array from per-process shards instead.
+        if jax.process_count() > 1:
+            sb = local_batch_to_global(mesh, batch)
+        else:
+            sb = batch
+        rng, sub = jax.random.split(rng)
+        state, metrics = sharded_step(state, sb, sub, lr, lr,
+                                      align_noise_at(hps, global_step), lr_p)
+        global_step += 1
+        audio_sec_acc += audio_sec
+        if is_main and global_step % t.log_interval == 0:
+            mh = jax.device_get(metrics)
+            m = {k: float(v) for k, v in mh.items() if np.ndim(v) == 0}
+            dt = time.time() - t_last
+            m["audio_sec_per_s"] = audio_sec_acc / max(dt, 1e-9)
+            m["input_stall_pct"] = 100.0 * input_wait_acc / max(dt, 1e-9)
+            t_last = time.time()
+            audio_sec_acc = 0.0
+            input_wait_acc = 0.0
+            logger.info("step %d epoch %d lr %.6g | %s", global_step, epoch, lr,
+                        {k: round(v, 5) for k, v in m.items()})
+            log_train_summaries(writer, global_step, {**mh, **m}, lr)
+            if log_cb:
+                log_cb(global_step, m)
+        if is_main and global_step % t.eval_interval == 0:
+            rng, sub = jax.random.split(rng)
+            t_eval = time.time()
+            # params are DP-replicated: take the local single-device
+            # replica (no host round-trip through the relay)
+            gen_local = jax.tree_util.tree_map(
+                lambda a: a.addressable_data(0) if hasattr(a, "addressable_data") else a,
+                state["gen"])
+            mel_l1 = evaluate(hps, synth, gen_local, eval_dataset,
+                              writer_eval, global_step, sub, first=first_eval)
+            if mel_l1 is not None:
+                logger.info("eval step %d mel_l1 %.4f wall %.2fs",
+                            global_step, mel_l1, time.time() - t_eval)
+            first_eval = False
+            save_all(hps, jax.device_get(state), epoch)
+        if max_steps is not None and global_step >= max_steps:
             break
     if is_main:
         save_all(hps, jax.device_get(state), epoch)
