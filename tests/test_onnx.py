@@ -138,6 +138,29 @@ def test_tensor_scalar_roundtrip():
     assert arr.shape == () and arr == np.float32(3.5)
 
 
+def test_cli_check_and_run(p1_bytes, tmp_path, capsys):
+    """python -m vits_tpu.onnx <model> --run: structure check + smoke run
+    (the onnx.checker / trt_infer analog); --run draws the dynamic axis at a
+    non-traced length, so it also exercises length generalization."""
+    from vits_tpu.onnx.__main__ import main as cli
+    path = tmp_path / "m.onnx"
+    path.write_bytes(p1_bytes)
+    rc = cli([str(path), "--run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "structure: OK" in out and "run: OK" in out
+    # corrupt: truncate the file → the check must fail (either a parse error
+    # or a structural PROBLEM / nonzero exit, depending on where the cut
+    # lands relative to a protobuf message boundary)
+    bad = tmp_path / "bad.onnx"
+    bad.write_bytes(p1_bytes[: len(p1_bytes) // 2])
+    try:
+        rc_bad = cli([str(bad), "--run"])
+    except Exception:
+        rc_bad = 1
+    assert rc_bad != 0
+
+
 @pytest.mark.skipif(shutil.which("protoc") is None, reason="protoc not in image")
 def test_protoc_decodes_our_wire_format(p1_bytes, tmp_path):
     """Independent wire-format check: Google's protobuf parser must decode

@@ -855,6 +855,12 @@ def convert_fn(fn, example_args, param_tree, input_names, output_names,
               for n, a in zip(input_names, flat_inputs)]
     outputs = [vi(s.name, s.shape, s.dtype) for s in out_syms]
     g = proto.graph(b.nodes, graph_name, inputs, outputs, b.initializers)
+    # record the traced input shapes (the "optimization profile" the graph
+    # was specialized at) so tooling can substitute honest sizes for
+    # dim_params — python -m vits_tpu.onnx --run reads this
+    import json
+    traced = {n: [int(d) for d in jnp.shape(a)]
+              for n, a in zip(input_names, flat_inputs)}
     return proto.model(g, opset=17,
-                       doc=f"vits_tpu jaxpr export; params={n_params} "
-                           f"leaves ({paths[0]}...)")
+                       doc="vits_tpu jaxpr export; traced_shapes="
+                           + json.dumps(traced))

@@ -353,12 +353,15 @@ def parse_graph(buf) -> dict:
 
 
 def parse_model(buf) -> dict:
-    m = {"ir_version": None, "producer": "", "graph": None, "opset": None}
+    m = {"ir_version": None, "producer": "", "graph": None, "opset": None,
+         "doc": ""}
     for f, w, v in _scan(buf):
         if f == 1:
             m["ir_version"] = v
         elif f == 2:
             m["producer"] = v.decode()
+        elif f == 6:
+            m["doc"] = v.decode()
         elif f == 7:
             m["graph"] = parse_graph(v)
         elif f == 8:
