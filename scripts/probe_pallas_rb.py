@@ -8,6 +8,7 @@ loser is recorded in BASELINE.md. Prints one JSON line per measurement.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -46,6 +47,10 @@ def emit(name, dt, compile_s, **kw):
 def main():
     import sys
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # the kernel reads its (static) chunk length from this env var at trace
+    # time (resblock2_chain_q8 default 1024) — set it BEFORE any jit, or the
+    # CLI argument is a label only
+    os.environ["VITS_TPU_RB_CHUNK"] = str(chunk)
     from vits_tpu.config import get_hparams_from_file, default_config_path
     from vits_tpu.models.synthesizer import Synthesizer
     from vits_tpu.nn.core import fold_weight_norm

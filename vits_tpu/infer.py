@@ -343,9 +343,10 @@ class EmoVITS:
         which dominates short-utterance latency (BASELINE.md batch-1 table);
         VITS_TPU_FUSED=0 restores two-phase. int8 serving calibrates on the
         two-phase path (the calibration record needs the p1 artifacts), then
-        dispatches the fused graph WITH the frozen int8 decoder — the fastest
-        measured serving configuration. AOT bundles stay two-phase (the
-        exported buckets are two-phase artifacts)."""
+        dispatches the fused graph with the bf16 decoder — fused+int8
+        MEASURED SLOWER at batch-1 shapes (45.6 vs 40.6 ms e2e, BASELINE.md);
+        VITS_TPU_FUSED_Q8=1 opts into the int8 fused decode. AOT bundles stay
+        two-phase (the exported buckets are two-phase artifacts)."""
         if self._prefer_fused and self.aot is None and \
                 (not self.quantize or self.dec_q8 is not None):
             return self.infer_fused(spkid, text, emo, duration_rate=duration_rate)
@@ -405,6 +406,12 @@ class EmoVITS:
         max_frames = self._quantize(
             max(int(x_length * fpt * duration_rate), self.frame_quantum),
             self.frame_quantum)
+        # the in-graph noise slice must fit the pre-sampled ring; a budget
+        # beyond it is capped, and a genuine overflow then falls back to the
+        # exact two-phase path below (y_frames >= max_frames)
+        ring_frames = self.noise.size // self.inter_channels
+        max_frames = min(max_frames, (ring_frames // self.frame_quantum)
+                         * self.frame_quantum)
         use_q8 = self.dec_q8 is not None and os.environ.get(
             "VITS_TPU_FUSED_Q8", "0") not in ("0", "", "false")
         fn = self._fused_cache.get((x_pad, max_frames, use_q8))
@@ -447,7 +454,11 @@ class EmoVITS:
                      chunk_frames: Optional[int] = None,
                      halo: int = 24):
         """Streaming synthesis: yields float32 wav chunks whose concatenation
-        is bit-identical to `infer()`'s output (north-star config 5).
+        is bit-identical to the two-phase `_infer_two_phase()` output
+        (north-star config 5). NB: `infer()` defaults to the FUSED path,
+        whose noise slice spans a different (bucketed) frame budget, so
+        stream output matches two-phase serving (VITS_TPU_FUSED=0), not the
+        fused default.
 
         Phase 1 + alignment run once; the latent z is computed in one jitted
         call, then decoded in overlapping windows with a receptive-field halo

@@ -111,7 +111,11 @@ class Converter:
         out = []
         for ax in range(len(limits)):
             for src, src_axis, size in self.dyn_dims:
-                if (limits[ax] == size and in_shape[ax] > size
+                # require the cropped axis to sit at the SAME position as the
+                # dynamic source axis (e.g. PE-table crop axis 1 ↔ input_text
+                # axis 1) — shrinks the window for coincidental size matches
+                if (ax == src_axis and limits[ax] == size
+                        and in_shape[ax] > size
                         and starts[ax] == 0 and strides[ax] == 1):
                     out.append((ax, src, src_axis))
                     break
@@ -130,6 +134,8 @@ class Converter:
     def materialize(self, val, hint="c") -> str:
         """ONNX tensor name for a value (initializer if constant)."""
         if self.is_const(val):
+            # param leaves carry their tree path → readable initializer names
+            hint = getattr(self, "_const_hints", {}).get(id(val), hint)
             return self.b.add_initializer(np.asarray(val), hint)
         if val.bcast_of is not None:
             # a consumer that can't implicitly broadcast: emit the Expand
@@ -226,8 +232,14 @@ class Converter:
             self.env[var] = v
 
     def _fold(self, eqn, invals):
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
+        try:  # prefer host eval even when the process owns a TPU backend
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        import contextlib
+        ctx = jax.default_device(cpu) if cpu is not None \
+            else contextlib.nullcontext()
+        with ctx:
             vals = [jnp.asarray(v) for v in invals]
             outs = eqn.primitive.bind(*vals, **eqn.params)
         if not eqn.primitive.multiple_results:
@@ -822,6 +834,9 @@ def convert_fn(fn, example_args, param_tree, input_names, output_names,
                     (io_name, ax, int(jnp.shape(arg_by_name[io_name])[ax])))
     conv = Converter(b, dyn_dims)
     invals = [np.asarray(leaf) for leaf in leaves]
+    # readable initializer names: param leaves keep their tree paths
+    conv._const_hints = {id(arr): path.replace("'", "")
+                         for arr, path in zip(invals, paths)}
     for name, arg in zip(input_names, flat_inputs):
         wire_dt = np.asarray(arg).dtype        # dtype declared on the wire
         traced_dt = np.dtype(jnp.asarray(arg).dtype)  # x64-off may downcast
@@ -832,7 +847,6 @@ def convert_fn(fn, example_args, param_tree, input_names, output_names,
             invals.append(Sym(cast, jnp.shape(arg), traced_dt))
         else:
             invals.append(Sym(name, jnp.shape(arg), traced_dt))
-    # rename param invars to their tree paths for a readable graph
     outs = conv.run(jaxpr, closed.consts, invals)
 
     out_syms = []

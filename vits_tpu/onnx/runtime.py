@@ -92,9 +92,12 @@ def _gather(data, indices, axis=0):
 
 _BINOPS = {
     "Add": np.add, "Sub": np.subtract, "Mul": np.multiply,
+    # integer Div truncates toward zero in ONNX (and lax.div) — NOT floor
     "Div": lambda a, b: (a / b if np.issubdtype(np.result_type(a, b),
                                                 np.floating)
-                         else np.floor_divide(a, b)),
+                         else (np.abs(a) // np.abs(b))
+                         * np.where(np.sign(a) * np.sign(b) == 0, 1,
+                                    np.sign(a) * np.sign(b))),
     "Pow": np.power, "Max": np.maximum, "Min": np.minimum,
     "Less": np.less, "LessOrEqual": np.less_equal, "Greater": np.greater,
     "GreaterOrEqual": np.greater_equal, "Equal": np.equal,

@@ -123,16 +123,21 @@ def _stft_conv(x, n_fft: int, hop: int, win_length: int):
 
 
 def _stft_conv_fwd(x, n_fft, hop, win_length):
-    return _stft_conv(x, n_fft, hop, win_length), x.shape[1]
+    # residual: frame origin length + a 0-length dtype witness (numpy dtypes
+    # are not valid jax residuals)
+    return _stft_conv(x, n_fft, hop, win_length), \
+        (x.shape[1], jnp.zeros((0,), x.dtype))
 
 
-def _stft_conv_bwd(n_fft, hop, win_length, T, dy):
+def _stft_conv_bwd(n_fft, hop, win_length, res, dy):
     # y[b,t,o] = sum_k x[b, t*hop + k] kern[k,o]  =>
-    # dx = overlap-add_hop(dy @ kern^T)
+    # dx = overlap-add_hop(dy @ kern^T); dx must match the primal dtype
+    T, dtype_witness = res
+    x_dtype = dtype_witness.dtype
     kern2 = _dft_kernel_traced(n_fft, win_length)[:, 0, :]  # (n_fft, 2F)
     d_frames = jnp.matmul(dy.astype(jnp.float32), kern2.T,
                           preferred_element_type=jnp.float32)
-    return (_overlap_add(d_frames, hop, T),)
+    return (_overlap_add(d_frames, hop, T).astype(x_dtype),)
 
 
 _stft_conv.defvjp(_stft_conv_fwd, _stft_conv_bwd)

@@ -322,7 +322,11 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
         dataset, sampler,
         workers=int(getattr(hps.train, "prefetch_workers", 8)),
         depth=int(getattr(hps.train, "prefetch_depth", 2)),
-        compact=bool(getattr(hps.train, "compact_batch", True)),
+        # compact (int16 wav + bf16 text/emo) halves host→device bytes, but
+        # its quantization only makes sense when the step computes in bf16;
+        # fp32 parity/debug runs default to exact batches
+        compact=bool(getattr(hps.train, "compact_batch",
+                             getattr(hps.train, "bf16_run", False))),
         place=place,
         place_depth=int(getattr(hps.train, "prefetch_device_depth", 2)))
 
