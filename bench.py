@@ -29,6 +29,8 @@ PEAK_FLOPS = {"fp32": 197e12 / 2, "bf16": 197e12, "int8": 394e12}
 
 
 def main():
+    from vits_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
     from vits_tpu.config import get_hparams_from_file, default_config_path
     from vits_tpu.models.synthesizer import Synthesizer
     from vits_tpu.ops.seq import infer_path

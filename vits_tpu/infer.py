@@ -51,6 +51,8 @@ class EmoVITS:
                  compute_dtype=None, quantize: Optional[bool] = None,
                  aot: Optional[bool] = None):
         self.loglv = loglv
+        from vits_tpu.utils.jitcache import enable_persistent_cache
+        enable_persistent_cache()  # serving restarts skip relay compiles
         # serving-mode knobs, env-overridable so the serving stack can opt in
         # without config plumbing: VITS_TPU_DTYPE=fp32|bf16, VITS_TPU_QUANTIZE=1
         if compute_dtype is None:

@@ -287,6 +287,8 @@ def run(hps, variant: str = "mel", max_steps: Optional[int] = None,
         mesh=None, log_cb=None):
     """Main training entry (single- or multi-host; call
     jax.distributed.initialize() before this on multi-host)."""
+    from vits_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs skip the 30-200 s relay compiles
     is_main = jax.process_index() == 0
     logger = S.get_logger(hps.model_dir) if is_main else None
     writer = S.SummaryWriter(hps.model_dir) if is_main else None
