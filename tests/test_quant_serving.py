@@ -57,9 +57,9 @@ def test_emovits_quantized_close_to_float(deploy_dir, monkeypatch):
     assert c > 0.98, c
 
     # with dec_q8 frozen, subsequent requests dispatch the fused graph with
-    # the bf16 decoder: fused+int8 MEASURED SLOWER at batch-1 shapes
-    # (45.6 vs 40.6 ms e2e — BASELINE.md batch-1 table, VERDICT r4 task 4),
-    # so the default fused decode stays float even in quantize mode
+    # the bf16 decoder: at batch-1 shapes fused+int8 measured within relay
+    # noise of fused bf16 (BASELINE.md batch-1 table, VERDICT r4 task 4),
+    # so the default fused decode stays float (waveform parity for free)
     text2 = rng.randn(7, 16).astype(np.float32)
     wav2, _ = q_model.infer(1, text2, emo)
     assert np.all(np.isfinite(wav2))

@@ -345,8 +345,10 @@ class EmoVITS:
         which dominates short-utterance latency (BASELINE.md batch-1 table);
         VITS_TPU_FUSED=0 restores two-phase. int8 serving calibrates on the
         two-phase path (the calibration record needs the p1 artifacts), then
-        dispatches the fused graph with the bf16 decoder — fused+int8
-        MEASURED SLOWER at batch-1 shapes (45.6 vs 40.6 ms e2e, BASELINE.md);
+        dispatches the fused graph with the bf16 decoder — across bench
+        runs fused+int8 measured within relay noise of fused bf16 at
+        batch-1 shapes (graph 10.4-11.9 vs 10.4-10.9 ms; BASELINE.md), so
+        int8 buys nothing there and bf16 keeps float-path waveform parity;
         VITS_TPU_FUSED_Q8=1 opts into the int8 fused decode. AOT bundles stay
         two-phase (the exported buckets are two-phase artifacts)."""
         if self._prefer_fused and self.aot is None and \
@@ -397,10 +399,11 @@ class EmoVITS:
         the device-resident pre-sampled ring at a host-drawn start — the
         reference's noise-ring character (infer.py:69,172-175) with zero
         per-request noise transfer. The fused graph decodes in bf16 even when
-        the int8 decoder is calibrated: at batch-1 shapes the int8 decode
-        MEASURED SLOWER end-to-end (45.6 vs 40.6 ms — sub-128-lane tiles +
-        quantize traversals outweigh the MXU win that int8 gets at batch 8;
-        BASELINE.md batch-1 table, 2026-08-21). VITS_TPU_FUSED_Q8=1 opts the
+        the int8 decoder is calibrated: at batch-1 shapes int8 measured
+        within relay noise of bf16 across bench runs (sub-128-lane tiles +
+        quantize traversals eat the MXU win int8 gets at batch 8;
+        BASELINE.md batch-1 table, 2026-08-21), so bf16 keeps float-path
+        waveform parity at no latency cost. VITS_TPU_FUSED_Q8=1 opts the
         fused graph into the int8 decoder anyway."""
         spkid, emo_vec, x_length = self._resolve_request(spkid, text, emo)
         x_pad = self._quantize(x_length, self.text_quantum, self.max_text_len)
