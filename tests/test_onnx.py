@@ -138,6 +138,89 @@ def test_tensor_scalar_roundtrip():
     assert arr.shape == () and arr == np.float32(3.5)
 
 
+def test_onnx_matches_torch_reference_oracle(tiny):
+    """Full interchange chain: reference torch model → torch_compat weight
+    bridge → ONNX export → numpy evaluation must reproduce the TORCH
+    reference outputs (channel-first, the reference's own wire layouts) —
+    i.e. a consumer of the reference's ONNX artifacts can swap in ours and
+    get the same audio. Oracle: emotional-vits models.py infer_p1/infer_p2
+    (export surface export.py:197-226)."""
+    import os
+    import sys
+    REF = "/root/reference/emotional-vits"
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo not mounted")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    import models as ref_models
+    from vits_tpu.utils.torch_compat import load_torch_state_dict
+
+    torch.manual_seed(0)
+    tm = ref_models.SynthesizerTrn(
+        TINY["text_channels"], TINY["spec_channels"], TINY["segment_size"],
+        inter_channels=TINY["inter_channels"],
+        hidden_channels=TINY["hidden_channels"],
+        filter_channels=TINY["filter_channels"], n_heads=TINY["n_heads"],
+        n_layers=TINY["n_layers"], kernel_size=TINY["kernel_size"],
+        p_dropout=TINY["p_dropout"],
+        resblock_kernel_sizes=list(TINY["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=[list(d) for d in TINY["resblock_dilation_sizes"]],
+        upsample_rates=list(TINY["upsample_rates"]),
+        upsample_initial_channel=TINY["upsample_initial_channel"],
+        upsample_kernel_sizes=list(TINY["upsample_kernel_sizes"]),
+        resblock=TINY["resblock"], ffn=TINY["ffn"],
+        kernel_size_q=TINY["kernel_size_q"], n_layers_q=TINY["n_layers_q"],
+        hidden_size_d=TINY["hidden_size_d"], kernel_size_d=TINY["kernel_size_d"],
+        p_dropout_d=TINY["p_dropout_d"], act_func_d=TINY["act_func_d"],
+        dilation_rate=list(TINY["dilation_rate"]), n_flows=TINY["n_flows"],
+        n_speakers=TINY["n_speakers"], gin_channels=TINY["gin_channels"],
+    ).eval()
+    synth = Synthesizer(**TINY)
+    params = load_torch_state_dict(tm.state_dict(),
+                                   synth.init_params(jax.random.PRNGKey(0)),
+                                   strict=False)
+
+    t_x, t_y = 10, 32
+    mb1 = export_p1(synth, params, t_x=t_x)
+    mb2 = export_p2(synth, params, t_x=t_x, t_y=t_y)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, t_x, TINY["text_channels"]).astype(np.float32)
+    emo = rng.randn(1, 1024).astype(np.float32)
+    sid = np.array([1], np.int64)
+    with torch.no_grad():
+        tm_p, ts_p, tlogw, tg = tm.infer_p1(
+            torch.from_numpy(x), torch.from_numpy(emo), torch.from_numpy(sid))
+    o1 = runtime.run_model(mb1, {"input_text": x, "input_emo": emo,
+                                 "input_g": sid})
+    np.testing.assert_allclose(o1["output_m_p"], tm_p.numpy(),
+                               atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(o1["output_s_p"], ts_p.numpy(),
+                               atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(o1["output_logw"], tlogw.numpy(),
+                               atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(o1["output_g"], tg.numpy(), atol=5e-4)
+
+    # phase 2 on a hand-built alignment, reference layouts throughout
+    attn = np.zeros((1, t_y, t_x), np.float32)
+    pos = 0
+    for i, d in enumerate([3, 4, 3, 4, 3, 4, 3, 4, 2, 2]):
+        attn[0, pos:pos + d, i] = 1.0
+        pos += d
+    noise = (0.3 * rng.randn(1, TINY["inter_channels"], t_y)).astype(np.float32)
+    with torch.no_grad():
+        twav = tm.infer_p2(torch.from_numpy(attn), tm_p, ts_p, tg,
+                           torch.from_numpy(noise))
+    o2 = runtime.run_model(mb2, {
+        "input_attn": attn, "input_m_p": o1["output_m_p"],
+        "input_s_p": o1["output_s_p"], "input_g": o1["output_g"],
+        "input_noise": noise})
+    assert o2["output_wav"].shape == tuple(twav.shape)
+    np.testing.assert_allclose(o2["output_wav"], twav.numpy(),
+                               atol=2e-3, rtol=5e-2)
+
+
 def test_cli_check_and_run(p1_bytes, tmp_path, capsys):
     """python -m vits_tpu.onnx <model> --run: structure check + smoke run
     (the onnx.checker / trt_infer analog); --run draws the dynamic axis at a
